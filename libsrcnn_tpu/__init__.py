@@ -1,0 +1,27 @@
+"""libsrcnn_tpu -- a TPU-native single-image super-resolution framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+rageworx/libsrcnn (SRCNN 9-1-5 super-resolution with classical
+interpolation upscaling), built for TPU: the whole pipeline is one jitted
+XLA program per shape, the conv stack runs on the MXU (optionally via fused
+Pallas kernels), and large frames / batches shard across a device mesh with
+ICI halo exchange.
+"""
+
+from .config import DEFAULT_CONFIG, FilterType, SRCNNConfig
+from .api import configure_filter_srcnn, process_srcnn, upscale
+
+#: mirrors the reference's version constant era (`libsrcnn.h:34-35`) --
+#: behavior parity target is libsrcnn 0.1.10.40.
+__version__ = "0.1.0"
+REFERENCE_PARITY_VERSION = "0.1.10.40"
+
+__all__ = [
+    "DEFAULT_CONFIG",
+    "FilterType",
+    "SRCNNConfig",
+    "configure_filter_srcnn",
+    "process_srcnn",
+    "upscale",
+    "__version__",
+]

@@ -1,0 +1,160 @@
+"""Public API: functional `upscale` plus a reference-compatible shim.
+
+The reference exposes exactly two C functions (`libsrcnn.h:46-54`):
+``ConfigureFilterSRCNN(filter, stepscale)`` writing process globals, and
+``ProcessSRCNN(buf, w, h, d, multiply, ...)`` returning int codes.  The
+TPU-native API is :func:`upscale` (pure, config-in/arrays-out); the shims
+:func:`configure_filter_srcnn` / :func:`process_srcnn` reproduce the
+reference's stateful surface and error codes for drop-in use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+
+import numpy as np
+import jax
+
+from .config import DEFAULT_CONFIG, FilterType, SRCNNConfig
+from .models import srcnn
+from .ops.resize import scaled_size
+from . import pipeline
+
+__all__ = [
+    "upscale",
+    "configure_filter_srcnn",
+    "process_srcnn",
+    "FilterType",
+    "SRCNNConfig",
+]
+
+
+def _as_u8_image(image: np.ndarray) -> np.ndarray:
+    img = np.asarray(image)
+    if img.dtype != np.uint8:
+        raise TypeError(f"expected uint8 image, got {img.dtype}")
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)  # gray -> RGB, as the reference
+        # test app normalizes inputs to RGB (`test.cpp:45-120`)
+    if img.ndim != 3 or img.shape[-1] not in (3, 4):
+        raise ValueError(f"expected [H,W,3|4] image, got {img.shape}")
+    return img
+
+
+def upscale(
+    image: np.ndarray,
+    scale: float,
+    config: SRCNNConfig = DEFAULT_CONFIG,
+    params: dict | None = None,
+    return_conv_map: bool | None = None,
+):
+    """Super-resolve an RGB(A) u8 image by ``scale``.
+
+    Args:
+      image: [H, W, 3|4] uint8 array (RGB or RGBA interleaved); [H, W]
+        grayscale is promoted to RGB.
+      scale: multiply factor (> 0); non-integer factors supported, output
+        size truncates like the reference (`libsrcnn.cpp:662-663`).
+      config: immutable run options (filter, step_scale, pallas, ...).
+      params: optional SRCNN params pytree (defaults to the pre-trained
+        9-1-5 weights).
+      return_conv_map: also return the u8 Y-channel conv3 map; defaults to
+        ``config.emit_conv_map``.
+
+    Returns:
+      ``out`` u8 array [H', W', D], or ``(out, conv_map)`` when requested --
+      matching the reference's optional convbuff output
+      (`libsrcnn.cpp:889-915`).
+
+    Step-scale mode (`config.step_scale`) decomposes the factor into chained
+    x2 passes with a u8 round-trip between passes, exactly like
+    `ProcessSRCNN`'s else-branch (`libsrcnn.cpp:980-1061`) -- including its
+    quantization-between-passes behavior.
+    """
+    img = _as_u8_image(image)
+    if params is None:
+        params = srcnn.load_params(dtype=config.compute_dtype)
+    want_conv = config.emit_conv_map if return_conv_map is None else return_conv_map
+
+    h, w, _ = img.shape
+    if float(scale) <= 0.0 or min(scaled_size(w, h, scale)) <= 0:
+        raise ValueError(f"invalid scale factor {scale}")
+
+    if not config.step_scale:
+        out, conv = pipeline.run_pass(img, params, float(scale), config)
+        out, conv = np.asarray(out), np.asarray(conv)
+        return (out, conv) if want_conv else out
+
+    # --- step-scale: chained x2 passes (`libsrcnn.cpp:980-1061`) ---
+    multiply = np.float32(scale)
+    lf = np.fmod(multiply, np.float32(2.0))
+    repeat = int(multiply / np.float32(2.0))
+    if lf > 0.0:
+        repeat += 1
+
+    cur = img
+    sw, sh = w, h
+    out = conv = None
+    for cnt in range(repeat):
+        curmf = np.float32(2.0)
+        if cnt + 1 == repeat:
+            curmf = (np.float32(w) * multiply) / np.float32(sw)
+            if curmf == 0.0 or curmf == 1.0:
+                break
+        o, c = pipeline.run_pass(cur, params, float(curmf), config)
+        out, conv = o, c
+        cur = np.asarray(o)
+        if repeat > 1:
+            sw = int(np.float32(sw) * curmf)
+            sh = int(np.float32(sh) * curmf)
+
+    out = np.asarray(out) if out is not None else img.copy()
+    conv = np.asarray(conv) if conv is not None else None
+    return (out, conv) if want_conv else out
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible stateful shim
+# ---------------------------------------------------------------------------
+
+_state_lock = threading.Lock()
+_state = {"filter": FilterType.BICUBIC, "step_scale": False}
+
+
+def configure_filter_srcnn(filter_type: FilterType | int, step_scale: bool = False) -> None:
+    """Drop-in for ``ConfigureFilterSRCNN`` (`libsrcnn.cpp:930-941`) --
+    process-global, but lock-protected unlike the reference."""
+    with _state_lock:
+        _state["filter"] = FilterType(int(filter_type))
+        _state["step_scale"] = bool(step_scale)
+
+
+def process_srcnn(refbuff, w: int, h: int, d: int, multiply: float):
+    """Drop-in for ``ProcessSRCNN`` (`libsrcnn.cpp:943-1064`).
+
+    Args:
+      refbuff: bytes / u8 array of interleaved RGB(A), length w*h*d.
+      w, h, d: image geometry (d must be 3 or 4).
+      multiply: scale factor.
+
+    Returns:
+      (retcode, outbuff, convbuff): retcode 0 on success, -1 for bad args,
+      -2 for bad scale (matching `libsrcnn.cpp:951-966`); outbuff/convbuff
+      are flat u8 numpy arrays (or None on failure).
+    """
+    if refbuff is None or w == 0 or h == 0 or d == 0:
+        return -1, None, None
+    buf = np.frombuffer(bytes(refbuff), dtype=np.uint8) if not isinstance(
+        refbuff, np.ndarray) else np.asarray(refbuff, dtype=np.uint8).ravel()
+    if buf.size != w * h * d:
+        return -1, None, None
+    m_w = np.float32(w) * np.float32(multiply)
+    m_h = np.float32(h) * np.float32(multiply)
+    if m_w <= 0.0 or m_h <= 0.0:
+        return -2, None, None
+    with _state_lock:
+        cfg = SRCNNConfig(filter=_state["filter"], step_scale=_state["step_scale"])
+    img = buf.reshape(h, w, d)
+    out, conv = upscale(img, multiply, cfg, return_conv_map=True)
+    return 0, out.ravel(), (conv.ravel() if conv is not None else None)

@@ -1,0 +1,63 @@
+"""Immutable run configuration.
+
+The reference keeps two mutable process globals set via
+``ConfigureFilterSRCNN`` (`libsrcnn.cpp:91-92,930-941`) which are not
+thread-safe.  The TPU framework replaces them with this frozen config object
+passed per call; a thin compat shim in :mod:`libsrcnn_tpu.api` reproduces the
+global-state API for drop-in use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class FilterType(enum.IntEnum):
+    """Interpolation filter for the classical upscale stage.
+
+    Values match the reference's ``SRCNNFilterType`` enum
+    (`libsrcnn.h:37-44`) and the CLI ``--filter=N`` mapping
+    (`test.cpp:341-365`).
+    """
+
+    NEAREST = 0   # box filter, width 0.5
+    BILINEAR = 1  # triangle, width 1
+    BICUBIC = 2   # Mitchell-Netravali b=c=1/3, width 2 (default)
+    LANCZOS3 = 3  # sinc * sinc, width 3
+    BSPLINE = 4   # cubic B-spline, width 2
+
+
+#: Per-channel filter policy (`libsrcnn.cpp:677-714`): the Y channel gets the
+#: configured filter; Cb/Cr/A are forced to bilinear -- unless the configured
+#: filter is NEAREST, in which case chroma uses the box filter too.
+def chroma_filter(y_filter: FilterType) -> FilterType:
+    return FilterType.NEAREST if y_filter == FilterType.NEAREST else FilterType.BILINEAR
+
+
+@dataclasses.dataclass(frozen=True)
+class SRCNNConfig:
+    """Configuration for one upscale call.
+
+    Attributes:
+      filter: interpolation filter for the Y channel (chroma policy is
+        derived, see :func:`chroma_filter`).
+      step_scale: decompose scale factors > 2 into chained x2 passes with a
+        u8 round-trip between passes, mirroring `libsrcnn.cpp:980-1061`.
+      compute_dtype: dtype for the conv stack on device.  ``float32`` matches
+        the reference closely; ``bfloat16`` trades ~1 u8 LSB of precision for
+        MXU throughput.
+      emit_conv_map: also return the raw Y-channel conv3 output as u8
+        (`libsrcnn.cpp:889-915`).
+      use_pallas: route the conv stack through the fused Pallas kernels when
+        the backend supports it; otherwise XLA ``conv_general_dilated``.
+    """
+
+    filter: FilterType = FilterType.BICUBIC
+    step_scale: bool = False
+    compute_dtype: str = "float32"
+    emit_conv_map: bool = False
+    use_pallas: bool = False
+
+
+DEFAULT_CONFIG = SRCNNConfig()

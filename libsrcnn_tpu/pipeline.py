@@ -1,0 +1,74 @@
+"""End-to-end single-pass SRCNN upscale pipeline (the `doSRCNN` equivalent).
+
+The reference's pipeline driver (`libsrcnn.cpp:628-923`) runs color split ->
+per-channel resize -> conv stack on Y -> merge as separate OpenMP'd CPU
+stages with heap round-trips.  Here the whole pass is ONE jitted XLA program:
+u8 image in HBM -> planar f32 -> band-resample -> SRCNN 9-1-5 -> u8 out, so
+every intermediate stays on-chip and XLA fuses the elementwise stages into
+the convs.  Shapes are static per (input size, scale, depth) -- compiled
+programs are cached.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .config import FilterType, SRCNNConfig, chroma_filter
+from .models import srcnn
+from .ops import color, resize
+
+
+def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas):
+    """Trace-time builder: [H,W,D] u8 -> ([dst_h,dst_w,D] u8, [dst_h,dst_w] u8).
+
+    Mirrors `doSRCNN` (`libsrcnn.cpp:628-923`): the second output is the
+    truncated-u8 conv3 map (`:889-915`).
+    """
+    d = img_u8.shape[-1]
+    planes = color.rgb_to_ycbcr(img_u8)  # [D,H,W] f32
+
+    y_filter = FilterType(filter_type)
+    c_filter = chroma_filter(y_filter)
+
+    y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
+    rest = [
+        resize.resize_plane(planes[c], dst_h, dst_w, c_filter) for c in range(1, d)
+    ]
+
+    if use_pallas:
+        from .kernels import fused_conv
+
+        y_sr = fused_conv.forward_y(params, y_r)
+    else:
+        y_sr = srcnn.forward_y(params, y_r)
+
+    merged = jnp.stack([y_sr, *rest], axis=0)
+    out_u8 = color.ycbcr_to_rgb(merged)
+    # conv3 output is already clamped to [0,255]; truncating u8 cast
+    # (`libsrcnn.cpp:897-901`).
+    conv_u8 = jnp.floor(y_sr).astype(jnp.uint8)
+    return out_u8, conv_u8
+
+
+@functools.lru_cache(maxsize=128)
+def compiled_pass(h: int, w: int, d: int, dst_h: int, dst_w: int,
+                  filter_type: int, use_pallas: bool):
+    """JIT-compiled single pass for one static shape configuration."""
+    fn = functools.partial(
+        _single_pass, dst_h=dst_h, dst_w=dst_w,
+        filter_type=filter_type, use_pallas=use_pallas,
+    )
+    return jax.jit(fn)
+
+
+def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
+    """One resize+SRCNN pass; returns (out_u8, conv_u8) device arrays."""
+    h, w, d = img_u8.shape
+    dst_w, dst_h = resize.scaled_size(w, h, multiply)
+    if dst_w <= 0 or dst_h <= 0:
+        raise ValueError(f"bad scale {multiply} for {w}x{h}")
+    fn = compiled_pass(h, w, d, dst_h, dst_w, int(cfg.filter), cfg.use_pallas)
+    return fn(img_u8, params)
