@@ -114,6 +114,23 @@ def upscale(
     return (out, conv) if want_conv else out
 
 
+def debug_intermediates(
+    image: np.ndarray,
+    scale: float,
+    config: SRCNNConfig = DEFAULT_CONFIG,
+    params: dict | None = None,
+) -> dict:
+    """Return every intermediate plane of a single pass as numpy arrays --
+    the TPU analog of the reference's DEBUG PNG dumps
+    (`libsrcnn.cpp:731-850`).  Keys: resized_Y/Cb/Cr(/A), conv1_0..63,
+    conv2_0..31, conv3."""
+    img = _as_u8_image(image)
+    if params is None:
+        params = srcnn.load_params(dtype=config.compute_dtype)
+    planes = pipeline.run_intermediates(img, params, float(scale), config)
+    return {k: np.asarray(v) for k, v in planes.items()}
+
+
 # ---------------------------------------------------------------------------
 # Reference-compatible stateful shim
 # ---------------------------------------------------------------------------

@@ -1,0 +1,140 @@
+"""Command-line interface, flag-compatible with the reference test app.
+
+The reference CLI (`test.cpp:290-448,513-531`):
+
+    srcnntest <input> [output] --scale=F --filter=N --step [--waitakey]
+
+* ``--scale=F``  float multiply factor (default 2.0, `test.cpp:30`)
+* ``--filter=N`` 0 nearest / 1 bilinear / 2 bicubic (default) / 3 lanczos3
+  / 4 b-spline (`test.cpp:341-365`)
+* ``--step``     enable step-scaling
+* output auto-naming: ``<input>_resized.png`` and ``<input>_convolution.png``
+  (`test.cpp:387-445`)
+
+TPU-native extras: ``--filter`` also accepts names, ``--pallas`` routes the
+conv stack through the fused Pallas kernels, ``--debug-dir=DIR`` dumps
+intermediate planes like the reference's DEBUG builds, ``--repeat=N`` for
+quick timing loops.
+
+Run as ``python -m libsrcnn_tpu.cli`` or the ``srcnn-tpu`` entry point.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from .config import FilterType, SRCNNConfig
+
+_FILTER_NAMES = {
+    "nearest": FilterType.NEAREST,
+    "bilinear": FilterType.BILINEAR,
+    "bicubic": FilterType.BICUBIC,
+    "lanczos3": FilterType.LANCZOS3,
+    "bspline": FilterType.BSPLINE,
+}
+
+
+def _auto_name(src: str, suffix: str) -> str:
+    # `test.cpp:387-445`: swap extension for `<stem>_<suffix>.png`
+    stem, dot, _ext = src.rpartition(".")
+    if not dot:
+        stem = src
+    return f"{stem}_{suffix}.png"
+
+
+def parse_args(argv: list[str]):
+    scale = 2.0
+    filter_type = FilterType.BICUBIC
+    step = False
+    use_pallas = False
+    repeat = 1
+    debug_dir = None
+    file_src = None
+    file_dst = None
+
+    for arg in argv:
+        if arg.startswith("--scale="):
+            v = float(arg[8:] or 0)
+            if v > 0:
+                scale = v
+        elif arg.startswith("--filter="):
+            v = arg[9:]
+            if v.lower() in _FILTER_NAMES:
+                filter_type = _FILTER_NAMES[v.lower()]
+            else:
+                try:
+                    filter_type = FilterType(int(v))
+                except ValueError:
+                    filter_type = FilterType.BICUBIC  # `test.cpp:353` default
+        elif arg.startswith("--step"):
+            step = True
+        elif arg.startswith("--pallas"):
+            use_pallas = True
+        elif arg.startswith("--repeat="):
+            repeat = max(1, int(arg[9:]))
+        elif arg.startswith("--debug-dir="):
+            debug_dir = arg[12:]
+        elif arg.startswith("--waitakey"):
+            pass  # interactive pause: meaningless in a batch tool, accepted
+        elif arg.startswith("--"):
+            raise SystemExit(f"unknown option: {arg}")
+        elif file_src is None:
+            file_src = arg
+        elif file_dst is None:
+            file_dst = arg
+
+    if file_src is None:
+        raise SystemExit(
+            "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
+            "--scale=F --filter=0..4|name --step --pallas "
+            "--repeat=N --debug-dir=DIR"
+        )
+    if file_dst is None:
+        file_dst = _auto_name(file_src, "resized")
+    file_conv = _auto_name(file_src, "convolution")
+
+    cfg = SRCNNConfig(filter=filter_type, step_scale=step, use_pallas=use_pallas)
+    return file_src, file_dst, file_conv, scale, cfg, repeat, debug_dir
+
+
+def main(argv: list[str] | None = None) -> int:
+    src, dst, convdst, scale, cfg, repeat, debug_dir = parse_args(
+        sys.argv[1:] if argv is None else argv
+    )
+    if debug_dir:
+        os.environ["LIBSRCNN_TPU_DEBUG_DIR"] = debug_dir
+
+    # import after arg parsing so `--help`-style errors don't pay JAX init
+    from . import api
+    from .io import load_image, save_png
+    from .utils.tick import get_tick_count
+
+    img = load_image(src)
+    print(f"{src}: {img.shape[1]}x{img.shape[0]}x{img.shape[2]}, "
+          f"scale={scale}, filter={cfg.filter.name.lower()}, "
+          f"step={'on' if cfg.step_scale else 'off'}")
+
+    out = conv = None
+    t0 = get_tick_count()
+    for _ in range(repeat):
+        out, conv = api.upscale(img, scale, cfg, return_conv_map=True)
+    elapsed = get_tick_count() - t0
+
+    save_png(dst, out)
+    save_png(convdst, conv)
+    if debug_dir:
+        from .utils import debugtool
+
+        written = debugtool.dump_planes(api.debug_intermediates(img, scale, cfg))
+        print(f"dumped {len(written)} debug planes to {debug_dir}")
+
+    # matches the reference's completion line (`test.cpp:672`)
+    print(f"{dst}: {out.shape[1]}x{out.shape[0]}x{out.shape[2]}")
+    print(f"{convdst}: {conv.shape[1]}x{conv.shape[0]}x1")
+    print(f"Test Ok, took {elapsed} ms" + (f" ({repeat} runs)" if repeat > 1 else ""))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

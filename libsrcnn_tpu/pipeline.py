@@ -64,6 +64,41 @@ def compiled_pass(h: int, w: int, d: int, dst_h: int, dst_w: int,
     return jax.jit(fn)
 
 
+def run_intermediates(img_u8, params, multiply: float, cfg: SRCNNConfig):
+    """Eager-ish pass that also returns every intermediate plane, mirroring
+    the reference's DEBUG dump sites (`libsrcnn.cpp:731-850`): the resized
+    Y/Cb/Cr(/A) planes, all 64 conv1 maps, 32 conv2 maps, and conv3."""
+    import jax.numpy as jnp
+    from .models.srcnn import edge_pad, _conv
+
+    h, w, d = img_u8.shape
+    dst_w, dst_h = resize.scaled_size(w, h, multiply)
+    y_filter = FilterType(cfg.filter)
+    c_filter = chroma_filter(y_filter)
+
+    planes = color.rgb_to_ycbcr(jnp.asarray(img_u8))
+    names = ["resized_Y", "resized_Cb", "resized_Cr", "resized_A"][:d]
+    out = {}
+    rz = []
+    for c, name in enumerate(names):
+        ft = y_filter if c == 0 else c_filter
+        p = resize.resize_plane(planes[c], dst_h, dst_w, ft)
+        rz.append(p)
+        out[name] = p
+
+    x = rz[0][None, :, :, None]
+    h1 = jnp.maximum(_conv(edge_pad(x, 4), params["w1"]) + params["b1"], 0.0)
+    h2 = jnp.maximum(_conv(h1, params["w2"]) + params["b2"], 0.0)
+    h3 = _conv(edge_pad(h2, 2), params["w3"]) + params["b3"]
+    conv3 = jnp.clip(h3[0, :, :, 0], 0.0, 255.0)
+    for f in range(h1.shape[-1]):
+        out[f"conv1_{f}"] = h1[0, :, :, f]
+    for f in range(h2.shape[-1]):
+        out[f"conv2_{f}"] = h2[0, :, :, f]
+    out["conv3"] = conv3
+    return out
+
+
 def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
     """One resize+SRCNN pass; returns (out_u8, conv_u8) device arrays."""
     h, w, d = img_u8.shape

@@ -1,0 +1,73 @@
+"""CLI parity: flags, auto-naming, outputs (`test.cpp:290-448,513-531`)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from libsrcnn_tpu import cli
+from libsrcnn_tpu.config import FilterType
+from libsrcnn_tpu.io import load_image, save_png
+
+
+@pytest.fixture()
+def png(tmp_path):
+    img = np.random.default_rng(8).integers(0, 256, (20, 16, 3), dtype=np.uint8)
+    p = str(tmp_path / "img.png")
+    save_png(p, img)
+    return p, img
+
+
+def test_parse_defaults():
+    src, dst, conv, scale, cfg, repeat, dbg = cli.parse_args(["in.png"])
+    assert (src, dst, conv) == ("in.png", "in_resized.png", "in_convolution.png")
+    assert scale == 2.0 and cfg.filter == FilterType.BICUBIC and not cfg.step_scale
+
+
+def test_parse_flags():
+    _, _, _, scale, cfg, repeat, dbg = cli.parse_args(
+        ["a.jpg", "--scale=3.5", "--filter=3", "--step", "--repeat=2"])
+    assert scale == 3.5 and cfg.filter == FilterType.LANCZOS3 and cfg.step_scale
+    assert repeat == 2
+
+
+def test_parse_filter_names():
+    for name, ft in [("bspline", FilterType.BSPLINE), ("nearest", FilterType.NEAREST)]:
+        _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", f"--filter={name}"])
+        assert cfg.filter == ft
+
+
+def test_parse_bad_filter_falls_back_to_bicubic():
+    # `test.cpp:353`: unknown numeric filter defaults to bicubic
+    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--filter=99"])
+    assert cfg.filter == FilterType.BICUBIC
+
+
+def test_no_input_exits():
+    with pytest.raises(SystemExit):
+        cli.parse_args([])
+    with pytest.raises(SystemExit):
+        cli.parse_args(["--unknown-flag"])
+
+
+def test_explicit_output_name():
+    _, dst, _, _, _, _, _ = cli.parse_args(["a.png", "b.png"])
+    assert dst == "b.png"
+
+
+def test_end_to_end(png, capsys):
+    path, img = png
+    rc = cli.main([path, "--scale=2", "--filter=2"])
+    assert rc == 0
+    out_path = path[:-4] + "_resized.png"
+    conv_path = path[:-4] + "_convolution.png"
+    assert os.path.exists(out_path) and os.path.exists(conv_path)
+    out = load_image(out_path)
+    assert out.shape == (40, 32, 3)
+    captured = capsys.readouterr().out
+    assert "Test Ok, took" in captured  # `test.cpp:672`
+
+
+def test_waitakey_accepted(png):
+    path, _ = png
+    assert cli.main([path, "--waitakey"]) == 0
