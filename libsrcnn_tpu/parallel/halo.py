@@ -1,0 +1,115 @@
+"""Explicit spatial tiling with ICI halo exchange (`shard_map` + `ppermute`).
+
+The TPU-native analog of context/ring parallelism for images (SURVEY.md
+section 5): one large Y plane is sharded over the mesh's ``row``/``col``
+axes; each device holds a tile and exchanges fixed-width halos with its
+neighbors over ICI before each spatial conv.  Replicate padding is applied
+ONLY at true image edges (a boundary tile pads with its own edge, which IS
+the global image edge) -- interior tiles receive real neighbor pixels.
+
+Two exchanges reproduce the reference's semantics exactly:
+
+* 4 px of the resized Y plane before the 9x9 conv1
+  (`libsrcnn.cpp:362-392`), and
+* 2 px of the conv2 output (32 channels) before the 5x5 conv3
+  (`libsrcnn.cpp:463-489`) -- the reference replicate-pads conv2's
+  *output*, which at true image edges is NOT the same as running conv1/2
+  over a wider input ring, so a single fused 6 px exchange would diverge
+  on the image border.
+
+The tiled result is numerically identical to the single-device forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+HALO1 = 4  # conv1 9x9
+HALO3 = 2  # conv3 5x5
+
+
+def _exchange(y: jnp.ndarray, halo: int, axis: int, axis_name: str) -> jnp.ndarray:
+    """Concatenate neighbor halos (or replicated own edge at mesh
+    boundaries) along `axis` of a local [H, W] or [H, W, C] tile."""
+    n = lax.psum(1, axis_name)
+    if n == 1:
+        pad = [(0, 0)] * y.ndim
+        pad[axis] = (halo, halo)
+        return jnp.pad(y, pad, mode="edge")
+
+    idx = lax.axis_index(axis_name)
+
+    def take(arr, lo, hi):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(lo, hi)
+        return arr[tuple(sl)]
+
+    size = y.shape[axis]
+    # my high edge -> next neighbor's low halo; my low edge -> prev's high
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    from_prev = lax.ppermute(take(y, size - halo, size), axis_name, fwd)
+    from_next = lax.ppermute(take(y, 0, halo), axis_name, bwd)
+
+    edge_lo = jnp.concatenate([take(y, 0, 1)] * halo, axis)
+    edge_hi = jnp.concatenate([take(y, size - 1, size)] * halo, axis)
+
+    lo_part = jnp.where(idx == 0, edge_lo, from_prev)
+    hi_part = jnp.where(idx == n - 1, edge_hi, from_next)
+    return jnp.concatenate([lo_part, y, hi_part], axis)
+
+
+def _exchange2d(y: jnp.ndarray, halo: int, row_axis: str, col_axis: str) -> jnp.ndarray:
+    y = _exchange(y, halo, 0, row_axis)
+    return _exchange(y, halo, 1, col_axis)
+
+
+def _tile_forward(params: dict, y: jnp.ndarray, row_axis: str, col_axis: str) -> jnp.ndarray:
+    """Per-device body: halo-exchange + conv per stage, tile-exact output."""
+    from ..models.srcnn import _conv
+
+    ext = _exchange2d(y, HALO1, row_axis, col_axis)
+    x = ext[None, :, :, None]
+    h1 = jnp.maximum(_conv(x, params["w1"]) + params["b1"], 0.0)
+    h2 = jnp.maximum(_conv(h1, params["w2"]) + params["b2"], 0.0)
+    # h2 is tile-exact; exchange conv2-output halos for the 5x5
+    h2 = _exchange2d(h2[0], HALO3, row_axis, col_axis)[None]
+    h3 = _conv(h2, params["w3"]) + params["b3"]
+    return jnp.clip(h3[0, :, :, 0], 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _run(params, y, mesh: Mesh):
+    spec = P("row", "col")
+    fn = shard_map(
+        functools.partial(_tile_forward, row_axis="row", col_axis="col"),
+        mesh=mesh,
+        in_specs=(P(), spec),
+        out_specs=spec,
+    )
+    return fn(params, y)
+
+
+def forward_y_tiled(params: dict, y: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """SRCNN forward on one [H, W] Y plane spatially sharded over
+    ``mesh`` axes ("row", "col").  H and W must divide by the respective
+    axis sizes; tiles must be at least HALO1 pixels.
+
+    Numerically identical to :func:`libsrcnn_tpu.models.srcnn.forward_y`
+    (same f32 ops, same replicate-pad semantics), just partitioned.
+    """
+    rows = mesh.shape["row"]
+    cols = mesh.shape["col"]
+    h, w = y.shape
+    if h % rows or w % cols:
+        raise ValueError(f"plane {h}x{w} not divisible by mesh {rows}x{cols}")
+    if h // rows < HALO1 or w // cols < HALO1:
+        raise ValueError(f"tile smaller than halo {HALO1}")
+    y = jax.device_put(y, NamedSharding(mesh, P("row", "col")))
+    return _run(params, y, mesh)

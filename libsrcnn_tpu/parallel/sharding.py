@@ -1,0 +1,81 @@
+"""GSPMD-annotated sharded pipelines (jit + NamedSharding).
+
+Where :mod:`.halo` spells out the halo exchange by hand, this module takes
+the idiomatic single-controller JAX route: annotate array shardings and let
+XLA's SPMD partitioner insert the ICI collectives -- including the halo
+exchanges for spatially-partitioned convolutions.
+
+* :func:`upscale_batch` -- data parallelism: a batch of same-sized frames
+  (video / eval sets) sharded over the ``data`` mesh axis; each device runs
+  the full per-frame pipeline locally, zero communication.
+* :func:`upscale_spatial` -- one big frame with its H/W sharded over
+  ``row``/``col``; XLA inserts conv halo collectives automatically.
+
+The reference has no multi-image or multi-node story at all (SURVEY.md
+section 2.9) -- frames would be processed one `ProcessSRCNN` call at a time.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SRCNNConfig
+from ..ops import resize
+from .. import pipeline
+
+
+@functools.lru_cache(maxsize=64)
+def _batch_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh):
+    body = functools.partial(
+        pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
+        filter_type=filter_type, use_pallas=use_pallas,
+    )
+    vbody = jax.vmap(body, in_axes=(0, None))
+    img_sh = NamedSharding(mesh, P("data", None, None, None))
+    out_sh = (NamedSharding(mesh, P("data", None, None, None)),
+              NamedSharding(mesh, P("data", None, None)))
+    return jax.jit(vbody, in_shardings=(img_sh, None), out_shardings=out_sh)
+
+
+def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh):
+    """Upscale a [N, H, W, D] u8 batch, N sharded over the ``data`` axis.
+
+    Returns (out [N,H',W',D] u8, conv [N,H',W'] u8).  N must divide by the
+    data-axis size.
+    """
+    n, h, w, d = images.shape
+    dp = mesh.shape["data"]
+    if n % dp:
+        raise ValueError(f"batch {n} not divisible by data axis {dp}")
+    dst_w, dst_h = resize.scaled_size(w, h, multiply)
+    fn = _batch_fn(h, w, d, dst_h, dst_w, int(cfg.filter), cfg.use_pallas, mesh)
+    return fn(images, params)
+
+
+@functools.lru_cache(maxsize=64)
+def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh):
+    def body(img, params):
+        out, conv = pipeline._single_pass(
+            img, params, dst_h=dst_h, dst_w=dst_w,
+            filter_type=filter_type, use_pallas=use_pallas,
+        )
+        out = jax.lax.with_sharding_constraint(
+            out, NamedSharding(mesh, P("row", "col", None)))
+        return out, conv
+
+    img_sh = NamedSharding(mesh, P("row", "col", None))
+    return jax.jit(body, in_shardings=(img_sh, None))
+
+
+def upscale_spatial(image, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh):
+    """Upscale one [H, W, D] u8 frame with H/W sharded over ``row``/``col``;
+    XLA GSPMD partitions the resize matmuls and convs, inserting halo
+    collectives over ICI."""
+    h, w, d = image.shape
+    dst_w, dst_h = resize.scaled_size(w, h, multiply)
+    fn = _spatial_fn(h, w, d, dst_h, dst_w, int(cfg.filter), cfg.use_pallas, mesh)
+    return fn(image, params)

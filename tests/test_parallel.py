@@ -1,0 +1,93 @@
+"""Multi-device paths on the 8-device virtual CPU mesh: explicit halo
+exchange, GSPMD batch/spatial sharding -- all must be bit-identical to the
+single-device pipeline."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from libsrcnn_tpu import SRCNNConfig, upscale
+from libsrcnn_tpu.models import srcnn
+from libsrcnn_tpu.parallel import halo, sharding
+from libsrcnn_tpu.parallel.mesh import default_mesh, make_mesh
+
+
+@pytest.fixture(scope="module")
+def params():
+    return srcnn.load_params()
+
+
+@pytest.fixture(scope="module")
+def y():
+    return np.random.default_rng(9).uniform(0, 255, (64, 96)).astype(np.float32)
+
+
+@pytest.mark.parametrize("axes", [
+    {"data": 1, "row": 4, "col": 2},
+    {"data": 1, "row": 8, "col": 1},
+    {"data": 1, "row": 1, "col": 8},
+    {"data": 2, "row": 2, "col": 2},
+    {"data": 8, "row": 1, "col": 1},
+])
+def test_halo_tiled_bitexact(params, y, axes):
+    n = int(np.prod(list(axes.values())))
+    mesh = make_mesh(axes, jax.devices()[:n])
+    ref = np.asarray(srcnn.forward_y(params, jnp.asarray(y)))
+    out = np.asarray(halo.forward_y_tiled(params, jnp.asarray(y), mesh))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_halo_validates_divisibility(params, y):
+    mesh = make_mesh({"data": 1, "row": 8, "col": 1})
+    with pytest.raises(ValueError):
+        halo.forward_y_tiled(params, jnp.asarray(y[:30]), mesh)  # 30 % 8 != 0
+
+
+def test_halo_tiny_tile_rejected(params):
+    mesh = make_mesh({"data": 1, "row": 8, "col": 1})
+    tiny = jnp.zeros((16, 16), jnp.float32)  # 2-row tiles < 4px halo
+    with pytest.raises(ValueError):
+        halo.forward_y_tiled(params, tiny, mesh)
+
+
+def test_gspmd_batch_matches_single(params):
+    mesh = make_mesh({"data": 4, "row": 2, "col": 1})
+    imgs = np.random.default_rng(10).integers(0, 256, (8, 24, 32, 3), np.uint8)
+    out, conv = sharding.upscale_batch(jnp.asarray(imgs), params, 2.0,
+                                       SRCNNConfig(), mesh)
+    for i in (0, 5):
+        ref, refc = upscale(imgs[i], 2.0, return_conv_map=True)
+        np.testing.assert_array_equal(np.asarray(out)[i], ref)
+        np.testing.assert_array_equal(np.asarray(conv)[i], refc)
+
+
+def test_gspmd_batch_divisibility(params):
+    mesh = make_mesh({"data": 4, "row": 2, "col": 1})
+    imgs = np.zeros((6, 16, 16, 3), np.uint8)
+    with pytest.raises(ValueError):
+        sharding.upscale_batch(jnp.asarray(imgs), params, 2.0, SRCNNConfig(), mesh)
+
+
+def test_gspmd_spatial_matches_single(params):
+    mesh = make_mesh({"data": 1, "row": 4, "col": 2})
+    img = np.random.default_rng(11).integers(0, 256, (64, 64, 3), np.uint8)
+    out, conv = sharding.upscale_spatial(jnp.asarray(img), params, 2.0,
+                                         SRCNNConfig(), mesh)
+    ref, refc = upscale(img, 2.0, return_conv_map=True)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    np.testing.assert_array_equal(np.asarray(conv), refc)
+
+
+def test_default_mesh_shapes():
+    m = default_mesh(8)
+    assert int(np.prod(list(m.shape.values()))) == 8
+    assert set(m.axis_names) == {"data", "row", "col"}
+    m1 = default_mesh(1)
+    assert int(np.prod(list(m1.shape.values()))) == 1
+
+
+def test_make_mesh_validates():
+    with pytest.raises(ValueError):
+        make_mesh({"data": 3, "row": 3}, jax.devices()[:8])
