@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Headline benchmark: megapixels/sec/chip at x2 SRCNN upscale.
+
+Matches the reference's headline scenario (SURVEY.md section 6): RGB u8
+frame -> x2 bicubic + SRCNN 9-1-5 -> RGB u8, measured as OUTPUT megapixels
+per second on one chip, steady state (inputs device-resident; host PNG I/O
+excluded on both sides of the comparison).
+
+Measurement notes for the axon-tunneled chip: a device->host sync costs a
+fixed ~30 ms relay roundtrip and block_until_ready() can return early, so
+we dispatch a stream of frames with DISTINCT inputs back-to-back and sync
+once on the last result via a 1-element fetch (device stream execution is
+serialized, so this bounds the whole stream).
+
+Baseline: the reference (OpenMP CPU build, this machine, BASELINE.md)
+achieves 0.174 MP/s at 256->512 and 0.022 MP/s at 1024->2048.  We compare
+against its BEST number (0.174).
+
+Prints one JSON line:
+  {"metric": "mp_per_sec_x2_srcnn", "value": N, "unit": "MP/s", "vs_baseline": N}
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_MP_S = 0.174  # reference OpenMP CPU, best case (BASELINE.md)
+SIZE = 1024            # input HxW; output is 2048x2048 = 4.19 MP
+SCALE = 2.0
+STREAM = 8             # frames per timed stream
+TRIALS = 5
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from libsrcnn_tpu import SRCNNConfig
+    from libsrcnn_tpu.models import srcnn
+    from libsrcnn_tpu import pipeline
+
+    use_pallas = bool(os.environ.get("BENCH_PALLAS", "1") != "0")
+    try:
+        cfg = SRCNNConfig(use_pallas=use_pallas)
+        if use_pallas:  # probe that the pallas path compiles on this backend
+            from libsrcnn_tpu.kernels import fused_conv  # noqa: F401
+    except Exception:
+        cfg = SRCNNConfig(use_pallas=False)
+
+    params = jax.device_put(srcnn.load_params())
+    rng = np.random.default_rng(0)
+    imgs = [
+        jax.device_put(jnp.asarray(rng.integers(0, 256, (SIZE, SIZE, 3), np.uint8)))
+        for _ in range(STREAM)
+    ]
+
+    def run_stream():
+        last = None
+        for im in imgs:
+            last = pipeline.run_pass(im, params, SCALE, cfg)
+        np.asarray(last[0][0, 0])  # data-dependent sync through the relay
+        return last
+
+    try:
+        last = run_stream()  # compile + warmup
+    except Exception:
+        if cfg.use_pallas:  # pallas path failed on this backend: fall back
+            cfg = SRCNNConfig(use_pallas=False)
+            last = run_stream()
+        else:
+            raise
+    run_stream()
+
+    times = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        last = run_stream()
+        times.append((time.perf_counter() - t0) / STREAM)
+
+    out = last[0]
+    mp = out.shape[0] * out.shape[1] / 1e6
+    dt = float(np.median(times))
+    value = mp / dt
+    print(json.dumps({
+        "metric": "mp_per_sec_x2_srcnn",
+        "value": round(value, 2),
+        "unit": "MP/s",
+        "vs_baseline": round(value / BASELINE_MP_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

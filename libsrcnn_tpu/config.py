@@ -49,15 +49,17 @@ class SRCNNConfig:
         MXU throughput.
       emit_conv_map: also return the raw Y-channel conv3 output as u8
         (`libsrcnn.cpp:889-915`).
-      use_pallas: route the conv stack through the fused Pallas kernels when
-        the backend supports it; otherwise XLA ``conv_general_dilated``.
+      use_pallas: route the conv stack through the fused Pallas kernel.
+        ``None`` (default) auto-selects: Pallas on TPU (where it is both
+        ~2x faster and MORE accurate than XLA's bf16-precision convs),
+        XLA elsewhere.
     """
 
     filter: FilterType = FilterType.BICUBIC
     step_scale: bool = False
     compute_dtype: str = "float32"
     emit_conv_map: bool = False
-    use_pallas: bool = False
+    use_pallas: bool | None = None
 
 
 DEFAULT_CONFIG = SRCNNConfig()

@@ -1,0 +1,197 @@
+"""Fully-fused SRCNN 9-1-5 forward as one Pallas TPU kernel.
+
+The reference's own memory-saving fusion idea (`Convolution99x11`,
+`libsrcnn.cpp:531-626` -- dead code with a border bug, SURVEY.md section
+2.13) done right and extended through conv3: one kernel computes
+conv1(9x9) -> ReLU -> conv2(1x1) -> ReLU -> conv3(5x5) -> clamp per output
+tile, so the 64-plane conv1 and 32-plane conv2 intermediates NEVER touch
+HBM.  The unfused XLA path moves ~3.2 GB of intermediates per 2048^2 output
+and is HBM-bound on this chip; the fused kernel streams the Y plane once.
+
+Mosaic imposes hard layout rules (VMEM slices must be (8,128)-tile aligned,
+shape casts across the lane dim are unsupported), so the kernel is built
+exclusively from ops that are native on TPU:
+
+* XLA pre-tiles the replicate-padded plane into overlapping windows
+  T [GW, GH, RB, 1, EW] (~1.2x one input copy of HBM traffic), so every
+  Pallas block is a standard aligned BlockSpec -- no manual DMA, and the
+  Pallas pipeline double-buffers tiles automatically.  Window rows ride the
+  MAJOR dim (sublane dim is 1), making each 9x9 tap a major-offset plus a
+  <=8 lane rotate.
+* im2col: 81 tap slices stored into the sublane dim of q [CH, 81, CW=128].
+* conv1: batched-over-majors MXU GEMMs contracting the 81 sublanes with
+  the [81, 64] kernel -> h1 [CH, CW, 64]; bias, ReLU.
+* conv2: batched [CW, 64] x [64, 32] -> c2 [CH, CW, 32]; bias, ReLU.
+* conv3: swap c2 to channels-in-sublanes [CH, 32, CW+4], FMA the 25
+  (major, lane)-shifted views with per-tap weight columns, then ONE native
+  sublane reduction -> [TH, 1, CW] which is exactly the output block
+  layout; bias, clamp.
+* XLA epilogue re-assembles tiles and drops each tile's 4 junk columns.
+
+Image-border semantics: the reference replicate-pads conv2's OUTPUT before
+conv3 (`libsrcnn.cpp:463-489`), which differs from running conv1/2 over a
+replicate-padded input ring.  Only the outer 2 output pixels are affected,
+so :func:`forward_y` recomputes that border with the exact XLA path on thin
+strips (<=6% extra work) -- same trick as parallel/halo.py's second
+exchange, keeping the hot kernel uniform.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 6          # 4 (conv1) + 2 (conv3) each side
+BORDER = 2        # output border recomputed with reference-exact semantics
+TW = 124          # valid output columns per tile
+CW = TW + 4       # c2 / GEMM column count (=128, lane-aligned)
+EW = TW + 2 * HALO + 4  # padded window width (140), last-dim-full block
+
+
+def _round8(x: int) -> int:
+    return (x + 7) // 8 * 8
+
+
+def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+            win_ref, out_ref, q_scr, *, th: int, precision=None):
+    ch = th + 4
+    ext = win_ref[0, 0]                           # [RB, 1, EW]
+
+    # --- im2col: taps -> sublanes ----------------------------------------
+    for dy in range(9):
+        for dx in range(9):
+            k = dy * 9 + dx
+            q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW]
+    q = q_scr[:]                                  # [ch, 81, CW]
+
+    # --- conv1: batched [81,CW]^T x [81,64] MXU GEMMs --------------------
+    h1 = jax.lax.dot_general(
+        q, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                             # [ch, CW, 64]
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
+
+    # --- conv2: batched [CW,64] x [64,32] --------------------------------
+    h2 = jax.lax.dot_general(
+        h1, w2_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                             # [ch, CW, 32]
+    c2 = jnp.maximum(h2 + b2_ref[:], 0.0)
+
+    # --- conv3: channels -> sublanes, 25 shifted FMAs, sublane-reduce ----
+    c2t = jnp.swapaxes(c2, 1, 2)                  # [ch, 32, CW]
+    c2t = jnp.pad(c2t, ((0, 0), (0, 0), (0, 4)))  # [ch, 32, CW+4]
+    acc = jnp.zeros((th, 32, CW), jnp.float32)
+    for dy in range(5):
+        for dx in range(5):
+            k = dy * 5 + dx
+            acc = acc + c2t[dy:dy + th, :, dx:dx + CW] * w3_ref[:, :, k:k + 1]
+    red = jnp.sum(acc, axis=1, keepdims=True)     # [th, 1, CW]
+    out_ref[0, 0] = jnp.clip(red + b3_ref[0], 0.0, 255.0)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret", "precision"))
+def _fused(y, w1, b1, w2, b2, w3, b3, *, th: int, interpret: bool,
+           precision=None):
+    h, w = y.shape
+    gh, gw = -(-h // th), -(-w // TW)
+    hp, wp = gh * th, gw * TW
+    rb = _round8(th + 2 * HALO)                   # window rows per block
+
+    ypad = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
+    yext = jnp.pad(ypad, ((HALO, HALO + (rb - th - 2 * HALO) + 8),
+                          (HALO, HALO + 4 + 8)), mode="edge")
+    # overlapping windows: T [gw, gh, rb, 1, EW]
+    tiles = jnp.stack([
+        jnp.stack([yext[i * th:i * th + rb, j * TW:j * TW + EW]
+                   for i in range(gh)], 0)
+        for j in range(gw)
+    ], 0)[:, :, :, None, :]
+
+    out5 = pl.pallas_call(
+        functools.partial(_kernel, th=th, precision=precision),
+        out_shape=jax.ShapeDtypeStruct((gh, gw, th, 1, CW), jnp.float32),
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w1 [81,64]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b1 [64]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w2 [64,32]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b2 [32]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w3 [1,32,25]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # b3 [1]
+            pl.BlockSpec((1, 1, rb, 1, EW), lambda i, j: (j, i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, th, 1, CW), lambda i, j: (i, j, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hp * wp * (81 * 64 + 64 * 32 + 25 * 32),
+            bytes_accessed=hp * wp * 8,
+            transcendentals=0,
+        ),
+    )(w1, b1, w2, b2, w3, b3, tiles)
+
+    # re-assemble: [gh, gw, th, 1, CW] -> [hp, gw*TW] (drop 4 junk cols/tile)
+    out = out5[:, :, :, 0, :TW].transpose(0, 2, 1, 3).reshape(hp, gw * TW)
+    return out[:h, :w]
+
+
+def _fix_border(params: dict, y: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
+    """Overwrite the outer BORDER pixels with the reference-exact XLA path,
+    computed on thin strips (top/bottom rows, left/right cols)."""
+    from ..models import srcnn
+
+    h, w = y.shape
+    strip = 8  # >= BORDER + 6 px context
+    if h <= 2 * strip or w <= 2 * strip:
+        return srcnn.forward_y(params, y)  # tiny plane: just do it exactly
+
+    top = srcnn.forward_y(params, y[:strip, :])[:BORDER, :]
+    bot = srcnn.forward_y(params, y[-strip:, :])[-BORDER:, :]
+    left = srcnn.forward_y(params, y[:, :strip])[:, :BORDER]
+    right = srcnn.forward_y(params, y[:, -strip:])[:, -BORDER:]
+    out = out.at[:BORDER, :].set(top)
+    out = out.at[-BORDER:, :].set(bot)
+    out = out.at[:, :BORDER].set(left)
+    out = out.at[:, -BORDER:].set(right)
+    return out
+
+
+def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int = 48,
+              interpret: bool | None = None,
+              precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """Drop-in fused replacement for :func:`libsrcnn_tpu.models.srcnn.forward_y`
+    (clamped inference path).  Accepts [H, W] or [N, H, W]."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    squeeze = y.ndim == 2
+    if squeeze:
+        y = y[None]
+
+    w1 = params["w1"].reshape(81, 64).astype(jnp.float32)
+    b1 = params["b1"].astype(jnp.float32)
+    w2 = params["w2"].reshape(64, 32).astype(jnp.float32)
+    b2 = params["b2"].astype(jnp.float32)
+    # [1, 32, 25]: per-tap [1,32,1] columns broadcast over majors and lanes
+    w3 = params["w3"][:, :, :, 0].reshape(25, 32).transpose(1, 0)[None]
+    w3 = w3.astype(jnp.float32)
+    b3 = params["b3"].reshape(1).astype(jnp.float32)
+
+    outs = []
+    for k in range(y.shape[0]):
+        plane = y[k].astype(jnp.float32)
+        o = _fused(plane, w1, b1, w2, b2, w3, b3, th=tile_h,
+                   interpret=interpret, precision=precision)
+        outs.append(_fix_border(params, plane, o))
+    out = jnp.stack(outs)
+    return out[0] if squeeze else out

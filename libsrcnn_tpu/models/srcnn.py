@@ -59,9 +59,13 @@ def init_params(key: jax.Array, dtype=jnp.float32) -> dict[str, jnp.ndarray]:
 
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    # precision=HIGHEST: TPU MXU runs f32 convs at bf16 precision by default
+    # (~0.2% error, visible as +-2 u8 LSB); HIGHEST forces the multi-pass
+    # f32 algorithm so the output matches the reference's C++ f32 loops.
     return lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding="VALID",
         dimension_numbers=_DN, preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
 
 

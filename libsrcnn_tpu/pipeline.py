@@ -45,6 +45,7 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas):
     else:
         y_sr = srcnn.forward_y(params, y_r)
 
+
     merged = jnp.stack([y_sr, *rest], axis=0)
     out_u8 = color.ycbcr_to_rgb(merged)
     # conv3 output is already clamped to [0,255]; truncating u8 cast
@@ -99,11 +100,23 @@ def run_intermediates(img_u8, params, multiply: float, cfg: SRCNNConfig):
     return out
 
 
+def resolve_pallas(use_pallas) -> bool:
+    """``None`` -> auto: the fused Pallas kernel on TPU (both faster and
+    more accurate than XLA's default bf16-precision convs), XLA elsewhere
+    (the Pallas interpreter on CPU is far slower than XLA's native conv)."""
+    if use_pallas is None:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return bool(use_pallas)
+
+
 def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
     """One resize+SRCNN pass; returns (out_u8, conv_u8) device arrays."""
     h, w, d = img_u8.shape
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
     if dst_w <= 0 or dst_h <= 0:
         raise ValueError(f"bad scale {multiply} for {w}x{h}")
-    fn = compiled_pass(h, w, d, dst_h, dst_w, int(cfg.filter), cfg.use_pallas)
+    fn = compiled_pass(h, w, d, dst_h, dst_w, int(cfg.filter),
+                       resolve_pallas(cfg.use_pallas))
     return fn(img_u8, params)

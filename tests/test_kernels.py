@@ -1,0 +1,65 @@
+"""Fused Pallas kernel vs the XLA path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from libsrcnn_tpu.models import srcnn
+from libsrcnn_tpu.kernels import fused_conv
+from libsrcnn_tpu.pipeline import resolve_pallas
+
+
+@pytest.fixture(scope="module")
+def params():
+    return srcnn.load_params()
+
+
+@pytest.mark.parametrize("shape", [(96, 124), (100, 140), (48, 48), (130, 250)])
+def test_fused_matches_xla(params, shape):
+    y = np.random.default_rng(13).uniform(0, 255, shape).astype(np.float32)
+    ref = np.asarray(srcnn.forward_y(params, jnp.asarray(y)))
+    got = np.asarray(fused_conv.forward_y(params, jnp.asarray(y)))
+    np.testing.assert_allclose(got, ref, atol=2e-3)
+
+
+def test_fused_border_semantics(params):
+    """The 2-px output border must reproduce the reference's
+    conv2-output-replicate padding exactly (not a wider conv ring)."""
+    y = np.random.default_rng(14).uniform(0, 255, (64, 64)).astype(np.float32)
+    ref = np.asarray(srcnn.forward_y(params, jnp.asarray(y)))
+    got = np.asarray(fused_conv.forward_y(params, jnp.asarray(y)))
+    for sl in [np.s_[:2, :], np.s_[-2:, :], np.s_[:, :2], np.s_[:, -2:]]:
+        np.testing.assert_allclose(got[sl], ref[sl], atol=2e-3)
+
+
+def test_fused_batched(params):
+    ys = np.random.default_rng(15).uniform(0, 255, (2, 48, 62)).astype(np.float32)
+    got = np.asarray(fused_conv.forward_y(params, jnp.asarray(ys)))
+    assert got.shape == (2, 48, 62)
+    one = np.asarray(fused_conv.forward_y(params, jnp.asarray(ys[1])))
+    np.testing.assert_allclose(got[1], one, atol=1e-5)
+
+
+def test_fused_output_range(params):
+    y = np.random.default_rng(16).uniform(-50, 400, (48, 62)).astype(np.float32)
+    out = np.asarray(fused_conv.forward_y(params, jnp.asarray(y)))
+    assert out.min() >= 0.0 and out.max() <= 255.0
+
+
+def test_resolve_pallas_auto():
+    # CPU backend in tests -> auto resolves to XLA
+    assert resolve_pallas(None) is False
+    assert resolve_pallas(True) is True
+    assert resolve_pallas(False) is False
+
+
+def test_pipeline_pallas_path_matches(params):
+    """End-to-end pipeline with use_pallas=True (interpret) vs XLA path."""
+    from libsrcnn_tpu import upscale, SRCNNConfig
+
+    img = np.random.default_rng(17).integers(0, 256, (20, 24, 3), np.uint8)
+    a = upscale(img, 2.0, SRCNNConfig(use_pallas=False))
+    b = upscale(img, 2.0, SRCNNConfig(use_pallas=True))
+    d = np.abs(a.astype(int) - b.astype(int))
+    assert d.max() <= 1
