@@ -41,13 +41,10 @@ def main() -> None:
     from libsrcnn_tpu.models import srcnn
     from libsrcnn_tpu import pipeline
 
-    use_pallas = bool(os.environ.get("BENCH_PALLAS", "1") != "0")
-    try:
-        cfg = SRCNNConfig(use_pallas=use_pallas)
-        if use_pallas:  # probe that the pallas path compiles on this backend
-            from libsrcnn_tpu.kernels import fused_conv  # noqa: F401
-    except Exception:
-        cfg = SRCNNConfig(use_pallas=False)
+    # use_pallas=None auto-selects the fused Pallas kernel on TPU;
+    # BENCH_PALLAS=0 forces the XLA path for comparison runs.
+    cfg = SRCNNConfig(
+        use_pallas=False if os.environ.get("BENCH_PALLAS") == "0" else None)
 
     params = jax.device_put(srcnn.load_params())
     rng = np.random.default_rng(0)
