@@ -30,10 +30,9 @@ exclusively from ops that are native on TPU:
 
 Image-border semantics: the reference replicate-pads conv2's OUTPUT before
 conv3 (`libsrcnn.cpp:463-489`), which differs from running conv1/2 over a
-replicate-padded input ring.  Only the outer 2 output pixels are affected,
-so :func:`forward_y` recomputes that border with the exact XLA path on thin
-strips (<=6% extra work) -- same trick as parallel/halo.py's second
-exchange, keeping the hot kernel uniform.
+replicate-padded input ring.  The kernel reproduces this in place: boundary
+tiles overwrite the out-of-image c2 ring with the edge c2 row/column via
+masked selects (same fix as parallel/halo.py's second exchange, but free).
 """
 
 from __future__ import annotations
@@ -57,7 +56,10 @@ def _round8(x: int) -> int:
 
 
 def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
-            win_ref, out_ref, q_scr, *, th: int, precision=None):
+            win_ref, out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
+            gh: int, gw: int, precision=None):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
     ch = th + 4
     ext = win_ref[0, 0]                           # [RB, 1, EW]
 
@@ -85,6 +87,18 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
         precision=precision,
     )                                             # [ch, CW, 32]
     c2 = jnp.maximum(h2 + b2_ref[:], 0.0)
+
+    # --- reference border semantics (`libsrcnn.cpp:463-489`): conv3 reads
+    # conv2's OUTPUT clamped to the valid image rectangle, so at true image
+    # edges the c2 halo ring is REPLACED by the edge c2 value rather than
+    # computed over the replicate-padded input ring.  Majors = rows
+    # (global row = i*th + a - 2), sublanes = cols (global = j*TW + s - 2).
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
+    c2 = jnp.where((i == 0) & (row_idx < 2), c2[2:3], c2)
+    c2 = jnp.where((i == gh - 1) & (row_idx > a_hi), c2[a_hi:a_hi + 1], c2)
+    c2 = jnp.where((j == 0) & (col_idx < 2), c2[:, 2:3, :], c2)
+    c2 = jnp.where((j == gw - 1) & (col_idx > s_hi), c2[:, s_hi:s_hi + 1, :], c2)
 
     # --- conv3: channels -> sublanes, 25 shifted FMAs, sublane-reduce ----
     c2t = jnp.swapaxes(c2, 1, 2)                  # [ch, 32, CW]
@@ -116,8 +130,12 @@ def _fused(y, w1, b1, w2, b2, w3, b3, *, th: int, interpret: bool,
         for j in range(gw)
     ], 0)[:, :, :, None, :]
 
+    # last-tile clamp thresholds in c2-local coordinates (+2 ring offset)
+    a_hi = (h - 1) - (gh - 1) * th + 2
+    s_hi = (w - 1) - (gw - 1) * TW + 2
     out5 = pl.pallas_call(
-        functools.partial(_kernel, th=th, precision=precision),
+        functools.partial(_kernel, th=th, a_hi=a_hi, s_hi=s_hi,
+                          gh=gh, gw=gw, precision=precision),
         out_shape=jax.ShapeDtypeStruct((gh, gw, th, 1, CW), jnp.float32),
         grid=(gh, gw),
         in_specs=[
@@ -146,27 +164,6 @@ def _fused(y, w1, b1, w2, b2, w3, b3, *, th: int, interpret: bool,
     return out[:h, :w]
 
 
-def _fix_border(params: dict, y: jnp.ndarray, out: jnp.ndarray) -> jnp.ndarray:
-    """Overwrite the outer BORDER pixels with the reference-exact XLA path,
-    computed on thin strips (top/bottom rows, left/right cols)."""
-    from ..models import srcnn
-
-    h, w = y.shape
-    strip = 8  # >= BORDER + 6 px context
-    if h <= 2 * strip or w <= 2 * strip:
-        return srcnn.forward_y(params, y)  # tiny plane: just do it exactly
-
-    top = srcnn.forward_y(params, y[:strip, :])[:BORDER, :]
-    bot = srcnn.forward_y(params, y[-strip:, :])[-BORDER:, :]
-    left = srcnn.forward_y(params, y[:, :strip])[:, :BORDER]
-    right = srcnn.forward_y(params, y[:, -strip:])[:, -BORDER:]
-    out = out.at[:BORDER, :].set(top)
-    out = out.at[-BORDER:, :].set(bot)
-    out = out.at[:, :BORDER].set(left)
-    out = out.at[:, -BORDER:].set(right)
-    return out
-
-
 def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int = 48,
               interpret: bool | None = None,
               precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
@@ -190,8 +187,7 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int = 48,
     outs = []
     for k in range(y.shape[0]):
         plane = y[k].astype(jnp.float32)
-        o = _fused(plane, w1, b1, w2, b2, w3, b3, th=tile_h,
-                   interpret=interpret, precision=precision)
-        outs.append(_fix_border(params, plane, o))
+        outs.append(_fused(plane, w1, b1, w2, b2, w3, b3, th=tile_h,
+                           interpret=interpret, precision=precision))
     out = jnp.stack(outs)
     return out[0] if squeeze else out
