@@ -55,7 +55,7 @@ def _round8(x: int) -> int:
     return (x + 7) // 8 * 8
 
 
-def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
             win_ref, out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
             gh: int, gw: int, precision=None):
     i = pl.program_id(0)
@@ -93,12 +93,19 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     # edges the c2 halo ring is REPLACED by the edge c2 value rather than
     # computed over the replicate-padded input ring.  Majors = rows
     # (global row = i*th + a - 2), sublanes = cols (global = j*TW + s - 2).
+    # flags_ref [4] gates each edge: all-ones when this plane's borders are
+    # true image edges; in the multi-chip halo path an interior shard sets
+    # its flags to 0 so the ring keeps real neighbor-pixel values.
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
-    c2 = jnp.where((i == 0) & (row_idx < 2), c2[2:3], c2)
-    c2 = jnp.where((i == gh - 1) & (row_idx > a_hi), c2[a_hi:a_hi + 1], c2)
-    c2 = jnp.where((j == 0) & (col_idx < 2), c2[:, 2:3, :], c2)
-    c2 = jnp.where((j == gw - 1) & (col_idx > s_hi), c2[:, s_hi:s_hi + 1, :], c2)
+    c2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),
+                   c2[2:3], c2)
+    c2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
+                   c2[a_hi:a_hi + 1], c2)
+    c2 = jnp.where((flags_ref[2] == 1) & (j == 0) & (col_idx < 2),
+                   c2[:, 2:3, :], c2)
+    c2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
+                   c2[:, s_hi:s_hi + 1, :], c2)
 
     # --- conv3: channels -> sublanes, 25 shifted FMAs, sublane-reduce ----
     c2t = jnp.swapaxes(c2, 1, 2)                  # [ch, 32, CW]
@@ -112,17 +119,36 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
     out_ref[0, 0] = jnp.clip(red + b3_ref[0], 0.0, 255.0)
 
 
-@functools.partial(jax.jit, static_argnames=("th", "interpret", "precision"))
-def _fused(y, w1, b1, w2, b2, w3, b3, *, th: int, interpret: bool,
-           precision=None):
-    h, w = y.shape
+@functools.partial(jax.jit,
+                   static_argnames=("th", "interpret", "precision", "prepadded"))
+def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
+           interpret: bool, precision=None, prepadded: bool = False):
+    """Run the fused kernel on one plane.
+
+    When ``prepadded`` is False, ``y`` is the [h, w] plane and the 6 px
+    replicate halo is added here.  When True, ``y`` is [h+12, w+12] with the
+    halo already present (the multi-chip path supplies exchanged neighbor
+    pixels); ``edge_flags`` [4] then says which of its borders are true
+    image edges (top, bottom, left, right).
+    """
+    if prepadded:
+        h, w = y.shape[0] - 2 * HALO, y.shape[1] - 2 * HALO
+    else:
+        h, w = y.shape
+    if edge_flags is None:
+        edge_flags = jnp.ones((4,), jnp.int32)
     gh, gw = -(-h // th), -(-w // TW)
     hp, wp = gh * th, gw * TW
     rb = _round8(th + 2 * HALO)                   # window rows per block
 
-    ypad = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
-    yext = jnp.pad(ypad, ((HALO, HALO + (rb - th - 2 * HALO) + 8),
-                          (HALO, HALO + 4 + 8)), mode="edge")
+    if prepadded:
+        # alignment/tile padding beyond the existing halo (junk region)
+        yext = jnp.pad(y, ((0, (hp - h) + (rb - th - 2 * HALO) + 8),
+                           (0, (wp - w) + 4 + 8)), mode="edge")
+    else:
+        ypad = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
+        yext = jnp.pad(ypad, ((HALO, HALO + (rb - th - 2 * HALO) + 8),
+                              (HALO, HALO + 4 + 8)), mode="edge")
     # overlapping windows: T [gw, gh, rb, 1, EW]
     tiles = jnp.stack([
         jnp.stack([yext[i * th:i * th + rb, j * TW:j * TW + EW]
@@ -145,6 +171,7 @@ def _fused(y, w1, b1, w2, b2, w3, b3, *, th: int, interpret: bool,
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b2 [32]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w3 [1,32,25]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b3 [1]
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # edge flags [4]
             pl.BlockSpec((1, 1, rb, 1, EW), lambda i, j: (j, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -157,7 +184,7 @@ def _fused(y, w1, b1, w2, b2, w3, b3, *, th: int, interpret: bool,
             bytes_accessed=hp * wp * 8,
             transcendentals=0,
         ),
-    )(w1, b1, w2, b2, w3, b3, tiles)
+    )(w1, b1, w2, b2, w3, b3, jnp.asarray(edge_flags, jnp.int32), tiles)
 
     # re-assemble: [gh, gw, th, 1, CW] -> [hp, gw*TW] (drop 4 junk cols/tile)
     out = out5[:, :, :, 0, :TW].transpose(0, 2, 1, 3).reshape(hp, gw * TW)

@@ -7,17 +7,20 @@ neighbors over ICI before each spatial conv.  Replicate padding is applied
 ONLY at true image edges (a boundary tile pads with its own edge, which IS
 the global image edge) -- interior tiles receive real neighbor pixels.
 
-Two exchanges reproduce the reference's semantics exactly:
+Two per-device bodies, both numerically identical to the single-device
+forward:
 
-* 4 px of the resized Y plane before the 9x9 conv1
-  (`libsrcnn.cpp:362-392`), and
-* 2 px of the conv2 output (32 channels) before the 5x5 conv3
-  (`libsrcnn.cpp:463-489`) -- the reference replicate-pads conv2's
-  *output*, which at true image edges is NOT the same as running conv1/2
-  over a wider input ring, so a single fused 6 px exchange would diverge
-  on the image border.
-
-The tiled result is numerically identical to the single-device forward.
+* **XLA body** (`_tile_forward`): two exchanges -- 4 px of the resized Y
+  plane before the 9x9 conv1 (`libsrcnn.cpp:362-392`), then 2 px of the
+  conv2 OUTPUT before the 5x5 conv3 (`libsrcnn.cpp:463-489`).  The second
+  exchange exists because the reference replicate-pads conv2's *output*,
+  which at true image edges is NOT the same as running conv1/2 over a
+  wider input ring.
+* **Pallas body** (`_tile_forward_pallas`, default on TPU): ONE 6 px
+  exchange, then the fused kernel; the kernel's edge-flag mechanism
+  applies the conv2-output clamp only on shards whose border is a true
+  image edge, so the single exchange stays exact AND halves the ICI
+  traffic (6 px of 1 plane vs 4 px of 1 + 2 px of 32 planes).
 """
 
 from __future__ import annotations
@@ -71,7 +74,7 @@ def _exchange2d(y: jnp.ndarray, halo: int, row_axis: str, col_axis: str) -> jnp.
 
 
 def _tile_forward(params: dict, y: jnp.ndarray, row_axis: str, col_axis: str) -> jnp.ndarray:
-    """Per-device body: halo-exchange + conv per stage, tile-exact output."""
+    """Per-device body (XLA convs): halo-exchange + conv per stage."""
     from ..models.srcnn import _conv
 
     ext = _exchange2d(y, HALO1, row_axis, col_axis)
@@ -84,32 +87,75 @@ def _tile_forward(params: dict, y: jnp.ndarray, row_axis: str, col_axis: str) ->
     return jnp.clip(h3[0, :, :, 0], 0.0, 255.0)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def _run(params, y, mesh: Mesh):
+def _tile_forward_pallas(params: dict, y: jnp.ndarray, row_axis: str,
+                         col_axis: str, tile_h: int,
+                         interpret: bool) -> jnp.ndarray:
+    """Per-device body (fused Pallas kernel): ONE 6 px Y-plane exchange,
+    then the whole conv stack on-device.  The kernel's edge-flag mechanism
+    applies the reference's conv2-output clamp only where this shard's
+    border is a TRUE image edge; interior shard rings keep the real
+    neighbor pixels from the exchange, so the result is exact everywhere
+    with a single exchange instead of two."""
+    from ..kernels import fused_conv
+
+    ext = _exchange2d(y, HALO1 + HALO3, row_axis, col_axis)
+    ri = lax.axis_index(row_axis)
+    ci = lax.axis_index(col_axis)
+    rn = lax.psum(1, row_axis)
+    cn = lax.psum(1, col_axis)
+    flags = jnp.stack([
+        (ri == 0), (ri == rn - 1), (ci == 0), (ci == cn - 1),
+    ]).astype(jnp.int32)
+
+    w1 = params["w1"].reshape(81, 64).astype(jnp.float32)
+    b1 = params["b1"].astype(jnp.float32)
+    w2 = params["w2"].reshape(64, 32).astype(jnp.float32)
+    b2 = params["b2"].astype(jnp.float32)
+    w3 = params["w3"][:, :, :, 0].reshape(25, 32).transpose(1, 0)[None]
+    b3 = params["b3"].reshape(1).astype(jnp.float32)
+    return fused_conv._fused(
+        ext, w1, b1, w2, b2, w3.astype(jnp.float32), b3, flags,
+        th=tile_h, interpret=interpret, prepadded=True,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _run(params, y, mesh: Mesh, use_pallas: bool, interpret: bool):
     spec = P("row", "col")
-    fn = shard_map(
-        functools.partial(_tile_forward, row_axis="row", col_axis="col"),
-        mesh=mesh,
-        in_specs=(P(), spec),
-        out_specs=spec,
-    )
+    if use_pallas:
+        tile_h = min(48, y.shape[0] // mesh.shape["row"])
+        body = functools.partial(_tile_forward_pallas, row_axis="row",
+                                 col_axis="col", tile_h=tile_h,
+                                 interpret=interpret)
+    else:
+        body = functools.partial(_tile_forward, row_axis="row", col_axis="col")
+    # check_vma off for the pallas body: pallas_call outputs carry no
+    # varying-across-mesh annotation
+    fn = shard_map(body, mesh=mesh, in_specs=(P(), spec), out_specs=spec,
+                   check_rep=not use_pallas)
     return fn(params, y)
 
 
-def forward_y_tiled(params: dict, y: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+def forward_y_tiled(params: dict, y: jnp.ndarray, mesh: Mesh,
+                    use_pallas: bool | None = None) -> jnp.ndarray:
     """SRCNN forward on one [H, W] Y plane spatially sharded over
     ``mesh`` axes ("row", "col").  H and W must divide by the respective
-    axis sizes; tiles must be at least HALO1 pixels.
+    axis sizes; tiles must be at least HALO1+HALO3 pixels.
 
+    ``use_pallas=None`` auto-selects the fused per-device kernel on TPU.
     Numerically identical to :func:`libsrcnn_tpu.models.srcnn.forward_y`
     (same f32 ops, same replicate-pad semantics), just partitioned.
     """
+    from ..pipeline import resolve_pallas
+
     rows = mesh.shape["row"]
     cols = mesh.shape["col"]
     h, w = y.shape
     if h % rows or w % cols:
         raise ValueError(f"plane {h}x{w} not divisible by mesh {rows}x{cols}")
-    if h // rows < HALO1 or w // cols < HALO1:
-        raise ValueError(f"tile smaller than halo {HALO1}")
+    if h // rows < HALO1 + HALO3 or w // cols < HALO1 + HALO3:
+        raise ValueError(f"tile smaller than halo {HALO1 + HALO3}")
+    use_pallas = resolve_pallas(use_pallas)
+    interpret = jax.default_backend() == "cpu"
     y = jax.device_put(y, NamedSharding(mesh, P("row", "col")))
-    return _run(params, y, mesh)
+    return _run(params, y, mesh, use_pallas, interpret)

@@ -39,6 +39,21 @@ def test_halo_tiled_bitexact(params, y, axes):
     np.testing.assert_array_equal(out, ref)
 
 
+@pytest.mark.parametrize("axes", [
+    {"data": 1, "row": 4, "col": 2},
+    {"data": 2, "row": 2, "col": 2},
+    {"data": 1, "row": 1, "col": 1},
+])
+def test_halo_tiled_pallas_matches(params, y, axes):
+    """Fused-kernel per-device body (single 6px exchange + edge flags)."""
+    n = int(np.prod(list(axes.values())))
+    mesh = make_mesh(axes, jax.devices()[:n])
+    ref = np.asarray(srcnn.forward_y(params, jnp.asarray(y)))
+    out = np.asarray(halo.forward_y_tiled(params, jnp.asarray(y), mesh,
+                                          use_pallas=True))
+    np.testing.assert_allclose(out, ref, atol=2e-3)
+
+
 def test_halo_validates_divisibility(params, y):
     mesh = make_mesh({"data": 1, "row": 8, "col": 1})
     with pytest.raises(ValueError):
