@@ -1,0 +1,132 @@
+"""Dataset evaluation: PSNR/SSIM of SRCNN vs classical interpolation.
+
+The SRCNN literature evaluates on Set5/Set14 by downscaling ground-truth
+images and super-resolving them back (the reference library itself ships
+only visual goldens, SURVEY.md section 4).  This runner reproduces that
+protocol on any directory of images: for each image and scale, synthesize
+the LR input with the framework's resampler, upscale with (a) the classical
+filter alone and (b) SRCNN, and report metrics against the ground truth.
+
+CLI: ``python -m libsrcnn_tpu.eval.runner <dir-or-image> [--scale=2]
+[--filter=bicubic]``
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+
+from ..config import FilterType, SRCNNConfig
+from .metrics import psnr, ssim
+
+
+@dataclasses.dataclass
+class EvalResult:
+    name: str
+    scale: float
+    psnr_interp: float
+    ssim_interp: float
+    psnr_srcnn: float
+    ssim_srcnn: float
+
+    @property
+    def psnr_gain(self) -> float:
+        return self.psnr_srcnn - self.psnr_interp
+
+
+def evaluate_image(
+    hr: np.ndarray, scale: float = 2.0,
+    filter_type: FilterType = FilterType.BICUBIC, name: str = "",
+) -> EvalResult:
+    """Downscale ``hr`` by 1/scale, upscale back both ways, compare."""
+    import jax.numpy as jnp
+
+    from ..api import upscale
+    from ..ops import color, resize
+
+    h, w = hr.shape[:2]
+    lw, lh = max(1, int(w / scale)), max(1, int(h / scale))
+
+    # LR synthesis: per-channel classical downscale in YCbCr, like the
+    # pipeline itself operates
+    planes = color.rgb_to_ycbcr(jnp.asarray(hr))
+    small = jnp.stack([
+        resize.resize_plane(planes[c], lh, lw, filter_type)
+        for c in range(planes.shape[0])
+    ])
+    lr = np.asarray(color.ycbcr_to_rgb(small))
+
+    exact = float(w) / lw  # recover exactly h x w on the way up
+    exact_h = float(h) / lh
+    up_scale = max(exact, exact_h)
+
+    srcnn_up = upscale(lr, up_scale, SRCNNConfig(filter=filter_type))[:h, :w]
+
+    planes_lr = color.rgb_to_ycbcr(jnp.asarray(lr))
+    interp = jnp.stack([
+        resize.resize_plane(planes_lr[c], srcnn_up.shape[0], srcnn_up.shape[1],
+                            filter_type if c == 0 else
+                            (FilterType.NEAREST if filter_type == FilterType.NEAREST
+                             else FilterType.BILINEAR))
+        for c in range(planes_lr.shape[0])
+    ])
+    interp_up = np.asarray(color.ycbcr_to_rgb(interp))[:h, :w]
+
+    return EvalResult(
+        name=name, scale=scale,
+        psnr_interp=psnr(interp_up, hr), ssim_interp=ssim(interp_up, hr),
+        psnr_srcnn=psnr(srcnn_up, hr), ssim_srcnn=ssim(srcnn_up, hr),
+    )
+
+
+def evaluate_dir(path: str, scale: float = 2.0,
+                 filter_type: FilterType = FilterType.BICUBIC) -> list[EvalResult]:
+    from ..io import load_image
+
+    if os.path.isfile(path):
+        files = [path]
+    else:
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")))
+    results = []
+    for f in files:
+        img = load_image(f)[..., :3]
+        results.append(evaluate_image(img, scale, filter_type,
+                                      name=os.path.basename(f)))
+    return results
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    scale = 2.0
+    ft = FilterType.BICUBIC
+    path = None
+    for a in argv:
+        if a.startswith("--scale="):
+            scale = float(a[8:])
+        elif a.startswith("--filter="):
+            v = a[9:]
+            ft = FilterType[v.upper()] if not v.isdigit() else FilterType(int(v))
+        else:
+            path = a
+    if path is None:
+        raise SystemExit("usage: python -m libsrcnn_tpu.eval.runner <dir|image> "
+                         "[--scale=F] [--filter=name|0-4]")
+
+    results = evaluate_dir(path, scale, ft)
+    print(f"{'image':24s} {'interp PSNR/SSIM':>20s} {'SRCNN PSNR/SSIM':>20s} {'gain':>7s}")
+    for r in results:
+        print(f"{r.name:24s} {r.psnr_interp:9.2f}/{r.ssim_interp:.4f} "
+              f"{r.psnr_srcnn:12.2f}/{r.ssim_srcnn:.4f} {r.psnr_gain:+6.2f}dB")
+    mean_gain = float(np.mean([r.psnr_gain for r in results]))
+    print(f"mean PSNR gain over interpolation: {mean_gain:+.2f} dB "
+          f"({len(results)} images, x{scale}, {ft.name.lower()})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -21,7 +21,8 @@ from .models import srcnn
 from .ops import color, resize
 
 
-def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas):
+def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
+                 compute_dtype="float32"):
     """Trace-time builder: [H,W,D] u8 -> ([dst_h,dst_w,D] u8, [dst_h,dst_w] u8).
 
     Mirrors `doSRCNN` (`libsrcnn.cpp:628-923`): the second output is the
@@ -39,9 +40,15 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas):
     ]
 
     if use_pallas:
+        import jax
         from .kernels import fused_conv
 
-        y_sr = fused_conv.forward_y(params, y_r)
+        # bfloat16 compute: single-pass MXU matmuls (~2x faster, ~0.2%
+        # error, SSIM >= 0.998 vs exact); float32 forces the multi-pass
+        # exact algorithm matching the reference.
+        prec = (jax.lax.Precision.HIGHEST if compute_dtype == "float32"
+                else jax.lax.Precision.DEFAULT)
+        y_sr = fused_conv.forward_y(params, y_r, precision=prec)
     else:
         y_sr = srcnn.forward_y(params, y_r)
 
@@ -56,11 +63,13 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas):
 
 @functools.lru_cache(maxsize=128)
 def compiled_pass(h: int, w: int, d: int, dst_h: int, dst_w: int,
-                  filter_type: int, use_pallas: bool):
+                  filter_type: int, use_pallas: bool,
+                  compute_dtype: str = "float32"):
     """JIT-compiled single pass for one static shape configuration."""
     fn = functools.partial(
         _single_pass, dst_h=dst_h, dst_w=dst_w,
         filter_type=filter_type, use_pallas=use_pallas,
+        compute_dtype=compute_dtype,
     )
     return jax.jit(fn)
 
@@ -118,5 +127,5 @@ def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
     if dst_w <= 0 or dst_h <= 0:
         raise ValueError(f"bad scale {multiply} for {w}x{h}")
     fn = compiled_pass(h, w, d, dst_h, dst_w, int(cfg.filter),
-                       resolve_pallas(cfg.use_pallas))
+                       resolve_pallas(cfg.use_pallas), cfg.compute_dtype)
     return fn(img_u8, params)

@@ -1,0 +1,94 @@
+"""Streaming / batched serving: video frames through the TPU pipeline.
+
+The reference processes one still image per `ProcessSRCNN` call; this
+module is the production-serving layer the TPU framework adds:
+
+* :class:`VideoUpscaler` -- double-buffered streaming loop: while the chip
+  runs frame t, the host feeds frame t+1 (device dispatch is async), with
+  optional native :class:`~libsrcnn_tpu.io.native.FrameRing` ingestion so a
+  decoder thread never blocks on the device.
+* :func:`upscale_frames` -- batched eager API over [N, H, W, D] clips,
+  optionally sharded over a device mesh's ``data`` axis.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import DEFAULT_CONFIG, SRCNNConfig
+from .models import srcnn
+from . import pipeline
+
+
+def upscale_frames(frames: np.ndarray, scale: float = 2.0,
+                   config: SRCNNConfig = DEFAULT_CONFIG,
+                   params: dict | None = None, mesh=None) -> np.ndarray:
+    """Upscale a [N, H, W, D] u8 clip; with ``mesh`` the batch is sharded
+    over the ``data`` axis (see parallel/sharding.upscale_batch)."""
+    if params is None:
+        params = srcnn.load_params(dtype=config.compute_dtype)
+    if mesh is not None:
+        from .parallel import sharding
+
+        out, _ = sharding.upscale_batch(jnp.asarray(frames), params,
+                                        float(scale), config, mesh)
+        return np.asarray(out)
+    outs = [pipeline.run_pass(jnp.asarray(f), params, float(scale), config)[0]
+            for f in frames]
+    return np.stack([np.asarray(o) for o in outs])
+
+
+class VideoUpscaler:
+    """Streaming upscaler: overlaps host frame feed with device compute.
+
+    >>> up = VideoUpscaler(scale=2.0)
+    >>> for out in up.stream(frame_iter):
+    ...     sink(out)
+    """
+
+    def __init__(self, scale: float = 2.0,
+                 config: SRCNNConfig = DEFAULT_CONFIG,
+                 params: dict | None = None):
+        self.scale = float(scale)
+        self.config = config
+        self.params = params if params is not None else srcnn.load_params(
+            dtype=config.compute_dtype)
+
+    def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
+        """Yield upscaled frames; keeps one frame in flight on the device
+        (dispatch is async, so the host prepares frame t+1 while the chip
+        processes frame t)."""
+        pending = None
+        for frame in frames:
+            cur = pipeline.run_pass(jnp.asarray(frame), self.params,
+                                    self.scale, self.config)[0]
+            if pending is not None:
+                yield np.asarray(pending)
+            pending = cur
+        if pending is not None:
+            yield np.asarray(pending)
+
+    def stream_from_ring(self, ring, frame_shape: tuple[int, int, int],
+                         stop=lambda: False) -> Iterator[np.ndarray]:
+        """Consume u8 frames from a native FrameRing (producer thread pushes
+        raw buffers); yields upscaled frames until ``stop()`` and the ring
+        drains."""
+        h, w, d = frame_shape
+
+        def gen():
+            import time
+
+            while True:
+                buf = ring.pop()
+                if buf is None:
+                    if stop() and len(ring) == 0:
+                        return
+                    time.sleep(0.001)
+                    continue
+                yield buf.reshape(h, w, d)
+
+        yield from self.stream(gen())

@@ -1,0 +1,107 @@
+"""eval runner, profiling utils, serving layer, distributed helpers."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from PIL import Image
+
+from libsrcnn_tpu.config import FilterType
+from libsrcnn_tpu.eval.runner import evaluate_image, evaluate_dir, main as eval_main
+from libsrcnn_tpu.serve import VideoUpscaler, upscale_frames
+from libsrcnn_tpu.utils.profiling import StageTimer, flops_estimate, sync
+from libsrcnn_tpu import upscale
+
+
+@pytest.fixture(scope="module")
+def butterfly():
+    img = np.asarray(Image.open(
+        "/root/reference/Pictures/butterfly.png").convert("RGB"))
+    return img[64:192, 64:192]  # 128x128 crop keeps tests fast
+
+
+def test_srcnn_beats_interp_on_butterfly():
+    img = np.asarray(Image.open(
+        "/root/reference/Pictures/butterfly.png").convert("RGB"))
+    r = evaluate_image(img, 2.0, FilterType.BICUBIC, name="butterfly")
+    assert r.psnr_srcnn > r.psnr_interp, (r.psnr_srcnn, r.psnr_interp)
+    assert r.ssim_srcnn > 0.8
+
+
+def test_eval_dir_and_cli(tmp_path, butterfly, capsys):
+    from libsrcnn_tpu.io import save_png
+
+    save_png(str(tmp_path / "a.png"), butterfly)
+    results = evaluate_dir(str(tmp_path), 2.0)
+    assert len(results) == 1 and results[0].name == "a.png"
+    rc = eval_main([str(tmp_path), "--scale=2", "--filter=bicubic"])
+    assert rc == 0
+    assert "mean PSNR gain" in capsys.readouterr().out
+
+
+def test_upscale_frames_matches_single(butterfly):
+    clip = np.stack([butterfly[:32, :32], butterfly[32:64, :32]])
+    out = upscale_frames(clip, 2.0)
+    assert out.shape == (2, 64, 64, 3)
+    np.testing.assert_array_equal(out[0], upscale(clip[0], 2.0))
+
+
+def test_video_stream(butterfly):
+    frames = [butterfly[i:i + 24, :24] for i in range(0, 72, 24)]
+    up = VideoUpscaler(scale=2.0)
+    outs = list(up.stream(iter(frames)))
+    assert len(outs) == 3
+    for f, o in zip(frames, outs):
+        np.testing.assert_array_equal(o, upscale(f, 2.0))
+
+
+def test_video_stream_from_ring(butterfly):
+    from libsrcnn_tpu.io import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    frame = np.ascontiguousarray(butterfly[:16, :16])
+    ring = native.FrameRing(frame.nbytes, 8)
+    done = threading.Event()
+
+    def producer():
+        for _ in range(5):
+            while not ring.push(frame):
+                pass
+        done.set()
+
+    t = threading.Thread(target=producer)
+    t.start()
+    up = VideoUpscaler(scale=2.0)
+    outs = list(up.stream_from_ring(ring, frame.shape, stop=done.is_set))
+    t.join()
+    assert len(outs) == 5
+    np.testing.assert_array_equal(outs[0], upscale(frame, 2.0))
+    ring.close()
+
+
+def test_stage_timer():
+    import jax.numpy as jnp
+
+    t = StageTimer()
+    with t.stage("x") as box:
+        box["out"] = jnp.ones((8, 8)) * 2
+    rep = t.report()
+    assert "x" in rep and "ms" in rep
+    sync(None)  # no-op on empty
+
+
+def test_flops_estimate():
+    assert flops_estimate(2048, 2048) == 2048 * 2048 * 2 * (81 * 64 + 64 * 32 + 800)
+
+
+def test_distributed_helpers():
+    from libsrcnn_tpu.parallel import distributed
+
+    distributed.initialize(num_processes=1)  # no-op path
+    mesh = distributed.global_mesh(data=2, col=1)
+    assert mesh.shape["data"] == 2 and mesh.shape["row"] == 4
+    assert distributed.process_local_batch(8) == 8
+    with pytest.raises(ValueError):
+        distributed.global_mesh(data=3)
