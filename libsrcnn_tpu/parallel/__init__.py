@@ -15,3 +15,4 @@ The reference's only parallelism is 15 OpenMP pragmas over pixels/filters
 """
 
 from .mesh import default_mesh, make_mesh  # noqa: F401
+from .tiled import upscale_tiled  # noqa: F401

@@ -58,10 +58,15 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
 
 @functools.lru_cache(maxsize=64)
 def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh):
+    # GSPMD cannot partition a pallas custom call, so this path always uses
+    # the XLA convs; for an explicitly tiled pipeline with the fused kernel
+    # per shard use parallel.tiled.upscale_tiled instead.
+    del use_pallas
+
     def body(img, params):
         out, conv = pipeline._single_pass(
             img, params, dst_h=dst_h, dst_w=dst_w,
-            filter_type=filter_type, use_pallas=use_pallas,
+            filter_type=filter_type, use_pallas=False,
         )
         out = jax.lax.with_sharding_constraint(
             out, NamedSharding(mesh, P("row", "col", None)))

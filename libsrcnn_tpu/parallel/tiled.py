@@ -1,0 +1,174 @@
+"""Gigapixel tiled pipeline: the FULL upscale (color -> resize -> SRCNN ->
+merge) spatially sharded over a device mesh with explicit ICI halo exchange.
+
+This is the framework's answer to "frames too large for one chip"
+(BASELINE.json config: gigapixel single image tiled across hosts).  Unlike
+:mod:`.sharding`'s GSPMD path (XLA decides the collectives, XLA conv only),
+everything here is explicit `shard_map`:
+
+* color split / merge are elementwise -- no communication;
+* the separable resize exchanges ``ceil(filter_support)+1`` source
+  rows/cols per pass and applies the GLOBAL contribution tables sliced
+  per shard (so boundary renormalization semantics are exactly the
+  reference's, `frawscale.cpp:52-108`);
+* the conv stack reuses the halo bodies (fused Pallas kernel with
+  edge-flag clamping on TPU, two-exchange XLA body otherwise).
+
+Result is numerically identical to the single-chip pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import FilterType, SRCNNConfig, chroma_filter
+from ..ops import color
+from ..ops.filters import FILTERS
+from ..ops.weights_table import contribution_table
+from . import halo as halo_mod
+
+
+def _axis_halo(filter_type: FilterType, dst: int, src: int) -> int:
+    """Source-pixel halo needed by one resize axis on interior shards."""
+    _, fw = FILTERS[FilterType(filter_type)]
+    scale = dst / src
+    width = fw / scale if scale < 1.0 else fw
+    return int(math.ceil(width)) + 1
+
+
+def _band_tables(filter_type: FilterType, dst: int, src: int):
+    left, w = contribution_table(filter_type, dst, src)
+    return left.astype(np.int32), w.astype(np.float32)
+
+
+def _resize_axis_sharded(plane, left_l, w_l, halo: int, axis: int,
+                         axis_name: str, src_local: int):
+    """Per-shard band resize along `axis` with exchanged halos and the
+    global table rows/cols for this shard (indices converted to local)."""
+    ext = halo_mod._exchange(plane, halo, axis, axis_name)
+    base = lax.axis_index(axis_name) * src_local - halo
+    left_local = left_l - base
+    kdim = w_l.shape[1]
+    acc = None
+    for k in range(kdim):
+        idx = jnp.clip(left_local + k, 0, ext.shape[axis] - 1)
+        g = jnp.take(ext, idx, axis=axis)
+        wk = w_l[:, k]
+        wk = wk[:, None] if axis == 0 else wk[None, :]
+        term = g * wk
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dst_h", "dst_w", "filter_type", "use_pallas", "interpret", "mesh"))
+def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
+               use_pallas, interpret, mesh: Mesh):
+    h, w, d = img.shape
+    rows, cols = mesh.shape["row"], mesh.shape["col"]
+    y_filter = FilterType(filter_type)
+    c_filter = chroma_filter(y_filter)
+    up_width = dst_w > w  # reference pass ordering (`frawscale.cpp:195-278`)
+
+    def body(img_l, params, rt_y, wt_y, rt_c, wt_c, ct_y, cwt_y, ct_c, cwt_c):
+        planes = color.rgb_to_ycbcr(img_l)          # [D, hl, wl]
+        src_hl, src_wl = planes.shape[1], planes.shape[2]
+
+        def one(plane, lv, wv, hv, lh, wh, hh):
+            # reference skips an axis whose size is unchanged
+            # (`frawscale.cpp:195-278`): applying a scale-1 table would
+            # blur under non-interpolating filters like Mitchell bicubic.
+            v = (functools.partial(_resize_axis_sharded, left_l=lv, w_l=wv,
+                                   halo=hv, axis=0, axis_name="row",
+                                   src_local=src_hl)
+                 if dst_h != h else (lambda p: p))
+            z = (functools.partial(_resize_axis_sharded, left_l=lh, w_l=wh,
+                                   halo=hh, axis=1, axis_name="col",
+                                   src_local=src_wl)
+                 if dst_w != w else (lambda p: p))
+            if up_width:
+                return z(v(plane))
+            return v(z(plane))
+
+        hv_y = _axis_halo(y_filter, dst_h, h)
+        hh_y = _axis_halo(y_filter, dst_w, w)
+        hv_c = _axis_halo(c_filter, dst_h, h)
+        hh_c = _axis_halo(c_filter, dst_w, w)
+
+        y_r = one(planes[0], rt_y, wt_y, hv_y, ct_y, cwt_y, hh_y)
+        rest = [one(planes[c], rt_c, wt_c, hv_c, ct_c, cwt_c, hh_c)
+                for c in range(1, d)]
+
+        if use_pallas:
+            y_sr = halo_mod._tile_forward_pallas(
+                params, y_r, "row", "col",
+                tile_h=min(48, y_r.shape[0]), interpret=interpret)
+        else:
+            y_sr = halo_mod._tile_forward(params, y_r, "row", "col")
+
+        merged = jnp.stack([y_sr, *rest], axis=0)
+        out_u8 = color.ycbcr_to_rgb(merged)
+        conv_u8 = jnp.floor(y_sr).astype(jnp.uint8)
+        return out_u8, conv_u8
+
+    spec_img = P("row", "col", None)
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(spec_img, P(),
+                  P("row"), P("row"), P("row"), P("row"),
+                  P("col"), P("col"), P("col"), P("col")),
+        out_specs=(P("row", "col", None), P("row", "col")),
+        check_rep=False,
+    )
+    rt_y, wt_y, ct_y, cwt_y = row_tabs[0], row_tabs[1], col_tabs[0], col_tabs[1]
+    rt_c, wt_c, ct_c, cwt_c = row_tabs[2], row_tabs[3], col_tabs[2], col_tabs[3]
+    return fn(img, params, rt_y, wt_y, rt_c, wt_c, ct_y, cwt_y, ct_c, cwt_c)
+
+
+def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
+                  mesh: Mesh):
+    """Full upscale of one [H, W, D] u8 frame spatially sharded over the
+    mesh ("row", "col") with explicit halo exchange at every stage.
+
+    Constraints: H, W and the output H', W' must divide by the respective
+    mesh axis sizes, and per-shard tiles must exceed the halo widths.
+    Returns (out_u8 [H', W', D], conv_u8 [H', W']) with values identical to
+    the single-chip pipeline.
+    """
+    from ..ops.resize import scaled_size
+    from ..pipeline import resolve_pallas
+
+    h, w, d = image.shape
+    rows, cols = mesh.shape["row"], mesh.shape["col"]
+    dst_w, dst_h = scaled_size(w, h, multiply)
+    for name, size, parts in (("H", h, rows), ("W", w, cols),
+                              ("H'", dst_h, rows), ("W'", dst_w, cols)):
+        if size % parts:
+            raise ValueError(f"{name}={size} not divisible by mesh axis {parts}")
+
+    y_filter = FilterType(cfg.filter)
+    c_filter = chroma_filter(y_filter)
+    rt_y, wt_y = _band_tables(y_filter, dst_h, h)
+    ct_y, cwt_y = _band_tables(y_filter, dst_w, w)
+    rt_c, wt_c = _band_tables(c_filter, dst_h, h)
+    ct_c, cwt_c = _band_tables(c_filter, dst_w, w)
+
+    sh = NamedSharding(mesh, P("row", "col", None))
+    image = jax.device_put(jnp.asarray(image), sh)
+    row_tabs = tuple(jax.device_put(jnp.asarray(t), NamedSharding(mesh, P("row")))
+                     for t in (rt_y, wt_y, rt_c, wt_c))
+    col_tabs = tuple(jax.device_put(jnp.asarray(t), NamedSharding(mesh, P("col")))
+                     for t in (ct_y, cwt_y, ct_c, cwt_c))
+    return _run_tiled(
+        image, params, row_tabs, col_tabs,
+        dst_h=dst_h, dst_w=dst_w, filter_type=int(cfg.filter),
+        use_pallas=resolve_pallas(cfg.use_pallas),
+        interpret=jax.default_backend() == "cpu", mesh=mesh)
