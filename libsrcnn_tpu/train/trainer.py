@@ -68,6 +68,7 @@ def train_step(params, opt_state, batch, optimizer, mesh: Mesh | None = None):
 
 
 def save_checkpoint(path: str, params: dict, step: int = 0) -> None:
+    """npz checkpoint (the framework's portable format)."""
     np.savez(path, step=np.int64(step),
              **{k: np.asarray(v) for k, v in params.items()})
 
@@ -76,6 +77,29 @@ def load_checkpoint(path: str):
     z = np.load(path)
     params = {k: jnp.asarray(z[k]) for k in ("w1", "b1", "w2", "b2", "w3", "b3")}
     return params, int(z["step"])
+
+
+def save_checkpoint_orbax(directory: str, params: dict, step: int = 0) -> None:
+    """Orbax checkpoint (sharded/async-capable, for multi-host training).
+
+    The reference has no checkpointing at all (weights are compile-time
+    constants, SURVEY.md section 5); npz covers single-host use and orbax
+    covers pod-scale training where each host writes its shards.
+    """
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(directory) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(params))
+        mgr.wait_until_finished()
+
+
+def load_checkpoint_orbax(directory: str, step: int | None = None):
+    import orbax.checkpoint as ocp
+
+    with ocp.CheckpointManager(directory) as mgr:
+        step = mgr.latest_step() if step is None else step
+        params = mgr.restore(step, args=ocp.args.StandardRestore())
+    return {k: jnp.asarray(v) for k, v in params.items()}, int(step)
 
 
 class Trainer:

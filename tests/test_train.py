@@ -85,6 +85,18 @@ def test_checkpoint_roundtrip(tmp_path, images):
         np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(tr.params[k]))
 
 
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from libsrcnn_tpu.train.trainer import (load_checkpoint_orbax,
+                                            save_checkpoint_orbax)
+
+    params = srcnn.load_params()
+    save_checkpoint_orbax(str(tmp_path / "ck"), params, step=7)
+    p2, step = load_checkpoint_orbax(str(tmp_path / "ck"))
+    assert step == 7
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(params[k]), np.asarray(p2[k]))
+
+
 def test_graft_entry():
     import __graft_entry__ as g
 

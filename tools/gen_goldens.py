@@ -96,6 +96,15 @@ def main():
         ("castle96", 0.5, 2, False),
         ("noise33", 2.0, 2, False),
         ("rgba48", 2.0, 2, False),
+        # round 2 additions: fractional step-scale, more filter/scale combos
+        ("butterfly64", 2.5, 2, True),
+        ("butterfly64", 5.0, 2, True),
+        ("butterfly64", 3.0, 1, False),
+        ("butterfly64", 3.0, 4, False),
+        ("butterfly64", 1.25, 3, False),
+        ("castle96", 2.0, 3, False),
+        ("rgba48", 4.0, 2, True),
+        ("noise33", 3.0, 0, False),
     ]
 
     for name, img in inputs.items():
