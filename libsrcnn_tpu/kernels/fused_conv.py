@@ -57,17 +57,18 @@ def _round8(x: int) -> int:
 
 def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
             win_ref, out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
-            gh: int, gw: int, precision=None):
+            gh: int, gw: int, precision=None, dtype=jnp.float32):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ch = th + 4
     ext = win_ref[0, 0]                           # [RB, 1, EW]
 
-    # --- im2col: taps -> sublanes ----------------------------------------
+    # --- im2col: taps -> sublanes (stored in `dtype`: bf16 mode halves
+    # VMEM pressure and feeds the MXU native-width operands) --------------
     for dy in range(9):
         for dx in range(9):
             k = dy * 9 + dx
-            q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW]
+            q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW].astype(dtype)
     q = q_scr[:]                                  # [ch, 81, CW]
 
     # --- conv1: batched [81,CW]^T x [81,64] MXU GEMMs --------------------
@@ -76,8 +77,8 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
-    )                                             # [ch, CW, 64]
-    h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
+    )                                             # [ch, CW, 64] f32
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(dtype)
 
     # --- conv2: batched [CW,64] x [64,32] --------------------------------
     h2 = jax.lax.dot_general(
@@ -85,7 +86,7 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=precision,
-    )                                             # [ch, CW, 32]
+    )                                             # [ch, CW, 32] f32
     c2 = jnp.maximum(h2 + b2_ref[:], 0.0)
 
     # --- reference border semantics (`libsrcnn.cpp:463-489`): conv3 reads
@@ -120,9 +121,11 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("th", "interpret", "precision", "prepadded"))
+                   static_argnames=("th", "interpret", "precision",
+                                    "prepadded", "dtype"))
 def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
-           interpret: bool, precision=None, prepadded: bool = False):
+           interpret: bool, precision=None, prepadded: bool = False,
+           dtype=jnp.float32):
     """Run the fused kernel on one plane.
 
     When ``prepadded`` is False, ``y`` is the [h, w] plane and the 6 px
@@ -161,7 +164,7 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
     s_hi = (w - 1) - (gw - 1) * TW + 2
     out5 = pl.pallas_call(
         functools.partial(_kernel, th=th, a_hi=a_hi, s_hi=s_hi,
-                          gh=gh, gw=gw, precision=precision),
+                          gh=gh, gw=gw, precision=precision, dtype=dtype),
         out_shape=jax.ShapeDtypeStruct((gh, gw, th, 1, CW), jnp.float32),
         grid=(gh, gw),
         in_specs=[
@@ -177,27 +180,31 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
         ],
         out_specs=pl.BlockSpec((1, 1, th, 1, CW), lambda i, j: (i, j, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * hp * wp * (81 * 64 + 64 * 32 + 25 * 32),
             bytes_accessed=hp * wp * 8,
             transcendentals=0,
         ),
-    )(w1, b1, w2, b2, w3, b3, jnp.asarray(edge_flags, jnp.int32), tiles)
+    )(w1.astype(dtype), b1, w2.astype(dtype), b2, w3, b3,
+      jnp.asarray(edge_flags, jnp.int32), tiles)
 
     # re-assemble: [gh, gw, th, 1, CW] -> [hp, gw*TW] (drop 4 junk cols/tile)
     out = out5[:, :, :, 0, :TW].transpose(0, 2, 1, 3).reshape(hp, gw * TW)
     return out[:h, :w]
 
 
-def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int = 48,
+def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
               interpret: bool | None = None,
-              precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+              precision=jax.lax.Precision.HIGHEST,
+              dtype=jnp.float32) -> jnp.ndarray:
     """Drop-in fused replacement for :func:`libsrcnn_tpu.models.srcnn.forward_y`
     (clamped inference path).  Accepts [H, W] or [N, H, W]."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if tile_h is None:
+        tile_h = 48  # largest tile fitting VMEM (f32 GEMM outputs dominate)
     squeeze = y.ndim == 2
     if squeeze:
         y = y[None]
@@ -215,6 +222,7 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int = 48,
     for k in range(y.shape[0]):
         plane = y[k].astype(jnp.float32)
         outs.append(_fused(plane, w1, b1, w2, b2, w3, b3, th=tile_h,
-                           interpret=interpret, precision=precision))
+                           interpret=interpret, precision=precision,
+                           dtype=dtype))
     out = jnp.stack(outs)
     return out[0] if squeeze else out

@@ -43,9 +43,11 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
         import jax
         from .kernels import fused_conv
 
-        # bfloat16 compute: single-pass MXU matmuls (~2x faster, ~0.2%
-        # error, SSIM >= 0.998 vs exact); float32 forces the multi-pass
-        # exact algorithm matching the reference.
+        # bfloat16 compute: single-pass MXU matmuls (~1.5x faster,
+        # SSIM >= 0.999 vs exact); float32 forces the multi-pass exact
+        # algorithm matching the reference.  (Storing operands as bf16 was
+        # measured SLOWER: the f32 GEMM outputs still dominate VMEM and the
+        # extra casts cost more than the narrower reads save.)
         prec = (jax.lax.Precision.HIGHEST if compute_dtype == "float32"
                 else jax.lax.Precision.DEFAULT)
         y_sr = fused_conv.forward_y(params, y_r, precision=prec)
