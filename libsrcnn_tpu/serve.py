@@ -13,6 +13,8 @@ module is the production-serving layer the TPU framework adds:
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Iterable, Iterator
 
 import numpy as np
@@ -37,9 +39,29 @@ def upscale_frames(frames: np.ndarray, scale: float = 2.0,
         out, _ = sharding.upscale_batch(jnp.asarray(frames), params,
                                         float(scale), config, mesh)
         return np.asarray(out)
-    outs = [pipeline.run_pass(jnp.asarray(f), params, float(scale), config)[0]
-            for f in frames]
-    return np.stack([np.asarray(o) for o in outs])
+    # single device: one vmapped dispatch for the whole clip (per-frame
+    # dispatch overhead dominates at small frame sizes)
+    out, _ = _batch_pass(jnp.asarray(frames), params, float(scale), config)
+    return np.asarray(out)
+
+
+def _batch_pass(frames, params, scale: float, config: SRCNNConfig):
+    from .ops import resize as _resize
+
+    n, h, w, d = frames.shape
+    dst_w, dst_h = _resize.scaled_size(w, h, scale)
+    fn = _compiled_batch(h, w, d, dst_h, dst_w, int(config.filter),
+                         pipeline.resolve_pallas(config.use_pallas),
+                         config.compute_dtype)
+    return fn(frames, params)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_batch(h, w, d, dst_h, dst_w, filter_type, use_pallas, dtype):
+    body = functools.partial(pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
+                      filter_type=filter_type, use_pallas=use_pallas,
+                      compute_dtype=dtype)
+    return jax.jit(jax.vmap(body, in_axes=(0, None)))
 
 
 class VideoUpscaler:
