@@ -25,6 +25,7 @@ from .api import configure_filter_srcnn, process_srcnn, upscale
 #: behavior parity target is libsrcnn 0.1.10.40.
 __version__ = "0.1.0"
 REFERENCE_PARITY_VERSION = "0.1.10.40"
+SRCNN_VERSION = 0x00010A28  # the reference's numeric macro (`libsrcnn.h:35`)
 
 __all__ = [
     "DEFAULT_CONFIG",

@@ -170,6 +170,10 @@ def process_srcnn(refbuff, w: int, h: int, d: int, multiply: float):
     m_h = np.float32(h) * np.float32(multiply)
     if m_w <= 0.0 or m_h <= 0.0:
         return -2, None, None
+    if d not in (3, 4):
+        # reference UB territory: depth<3 leaves doSRCNN's buffers
+        # uninitialized (`libsrcnn.cpp:235-236`); we report bad args.
+        return -1, None, None
     with _state_lock:
         cfg = SRCNNConfig(filter=_state["filter"], step_scale=_state["step_scale"])
     img = buf.reshape(h, w, d)

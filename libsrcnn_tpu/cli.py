@@ -47,7 +47,8 @@ def parse_args(argv: list[str]):
     scale = 2.0
     filter_type = FilterType.BICUBIC
     step = False
-    use_pallas = False
+    use_pallas = None  # auto: pallas on TPU, XLA elsewhere
+    dtype = "float32"
     repeat = 1
     debug_dir = None
     file_src = None
@@ -69,8 +70,12 @@ def parse_args(argv: list[str]):
                     filter_type = FilterType.BICUBIC  # `test.cpp:353` default
         elif arg.startswith("--step"):
             step = True
+        elif arg == "--no-pallas":
+            use_pallas = False
         elif arg.startswith("--pallas"):
             use_pallas = True
+        elif arg == "--bf16":
+            dtype = "bfloat16"  # throughput mode (~1.5x, SSIM>=0.999)
         elif arg.startswith("--repeat="):
             repeat = max(1, int(arg[9:]))
         elif arg.startswith("--debug-dir="):
@@ -87,14 +92,15 @@ def parse_args(argv: list[str]):
     if file_src is None:
         raise SystemExit(
             "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
-            "--scale=F --filter=0..4|name --step --pallas "
-            "--repeat=N --debug-dir=DIR"
+            "--scale=F --filter=0..4|name --step --pallas|--no-pallas "
+            "--bf16 --repeat=N --debug-dir=DIR"
         )
     if file_dst is None:
         file_dst = _auto_name(file_src, "resized")
     file_conv = _auto_name(file_src, "convolution")
 
-    cfg = SRCNNConfig(filter=filter_type, step_scale=step, use_pallas=use_pallas)
+    cfg = SRCNNConfig(filter=filter_type, step_scale=step,
+                      use_pallas=use_pallas, compute_dtype=dtype)
     return file_src, file_dst, file_conv, scale, cfg, repeat, debug_dir
 
 
