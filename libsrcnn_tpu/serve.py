@@ -80,14 +80,30 @@ class VideoUpscaler:
         self.params = params if params is not None else srcnn.load_params(
             dtype=config.compute_dtype)
 
+    #: transient device errors are retried this many times per frame before
+    #: propagating (tunneled/pre-empted backends can drop a dispatch; the
+    #: reference has no failure handling at all, SURVEY.md section 5)
+    max_retries: int = 2
+
+    def _run_one(self, frame: np.ndarray):
+        import jax
+
+        last_err = None
+        for _ in range(self.max_retries + 1):
+            try:
+                return pipeline.run_pass(jnp.asarray(frame), self.params,
+                                         self.scale, self.config)[0]
+            except jax.errors.JaxRuntimeError as e:  # transient device error
+                last_err = e
+        raise last_err
+
     def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
         """Yield upscaled frames; keeps one frame in flight on the device
         (dispatch is async, so the host prepares frame t+1 while the chip
         processes frame t)."""
         pending = None
         for frame in frames:
-            cur = pipeline.run_pass(jnp.asarray(frame), self.params,
-                                    self.scale, self.config)[0]
+            cur = self._run_one(frame)
             if pending is not None:
                 yield np.asarray(pending)
             pending = cur
