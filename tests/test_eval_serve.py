@@ -81,6 +81,46 @@ def test_video_stream_from_ring(butterfly):
     ring.close()
 
 
+def test_validate_params():
+    from libsrcnn_tpu.models import srcnn
+    from libsrcnn_tpu.utils.checks import validate_params
+
+    p = srcnn.load_params()
+    validate_params(p)
+    bad = dict(p)
+    del bad["w3"]
+    with pytest.raises(ValueError, match="missing"):
+        validate_params(bad)
+    bad2 = dict(p)
+    bad2["b1"] = np.full((64,), np.nan)
+    with pytest.raises(ValueError, match="non-finite"):
+        validate_params(bad2)
+    bad3 = dict(p)
+    bad3["w1"] = np.zeros((9, 9, 64, 1))
+    with pytest.raises(ValueError, match="expected"):
+        validate_params(bad3)
+
+
+def test_stream_retries_transient_errors(butterfly, monkeypatch):
+    import jax
+
+    from libsrcnn_tpu import pipeline
+
+    up = VideoUpscaler(scale=2.0)
+    real = pipeline.run_pass
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("transient device loss")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(pipeline, "run_pass", flaky)
+    outs = list(up.stream(iter([butterfly[:16, :16]])))
+    assert len(outs) == 1 and calls["n"] == 2
+
+
 def test_stage_timer():
     import jax.numpy as jnp
 
