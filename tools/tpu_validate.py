@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""On-device validation sweep: run every golden config through the REAL
+TPU (auto path = fused Pallas kernel) and compare against the reference
+binary outputs.  The CPU test suite covers the XLA path; this checks the
+chip's compiled kernels end-to-end.
+
+Usage: python tools/tpu_validate.py [N]   # first N configs (default all)
+"""
+
+import sys
+
+import numpy as np
+
+from libsrcnn_tpu import FilterType, SRCNNConfig, upscale
+from libsrcnn_tpu.eval import psnr, ssim
+
+
+def main() -> int:
+    limit = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
+    z = np.load("tests/goldens/goldens.npz")
+    cases = [m.split(",") for m in z["meta"]][:limit]
+    worst = 0
+    fails = 0
+    for key, name, mult, filt, step, _ms in cases:
+        img = z[f"in_{name}"]
+        cfg = SRCNNConfig(filter=FilterType(int(filt)), step_scale=bool(int(step)))
+        out, conv = upscale(img, float(mult), cfg, return_conv_map=True)
+        gout, gconv = z[f"out_{key}"], z[f"conv_{key}"]
+        d = int(np.abs(out.astype(int) - gout.astype(int)).max())
+        dc = int(np.abs(conv.astype(int) - gconv.astype(int)).max())
+        s = ssim(out, gout)
+        ok = d <= 1 and dc <= 1 and s >= 0.999
+        worst = max(worst, d, dc)
+        fails += 0 if ok else 1
+        print(f"{'OK ' if ok else 'BAD'} {key:32s} maxdiff {d} conv {dc} "
+              f"ssim {s:.6f} psnr {psnr(out, gout):5.1f}", flush=True)
+    print(f"\n{len(cases)} configs, worst u8 diff {worst}, failures {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
