@@ -1,3 +1,4 @@
-"""Model zoo: the SRCNN 9-1-5 family."""
+"""Model zoo: the SRCNN family (9-1-5 pre-trained + configurable variants)."""
 
-from . import srcnn  # noqa: F401
+from . import srcnn, srcnn_generic  # noqa: F401
+from .srcnn_generic import SRCNN_915, SRCNN_935, SRCNN_955, ModelSpec  # noqa: F401

@@ -27,9 +27,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models import srcnn
 
 
-def loss_fn(params: dict, lr_y: jnp.ndarray, hr_y: jnp.ndarray) -> jnp.ndarray:
-    """MSE on the Y channel in [0,255] domain, unclamped forward."""
-    pred = srcnn.forward_y(params, lr_y, clamp=False)
+def loss_fn(params: dict, lr_y: jnp.ndarray, hr_y: jnp.ndarray,
+            forward=None) -> jnp.ndarray:
+    """MSE on the Y channel in [0,255] domain, unclamped forward.
+
+    ``forward(params, y, clamp=False)`` defaults to the 9-1-5 model; pass
+    e.g. ``models.srcnn_generic.forward_y`` (via functools.partial with a
+    ModelSpec) to train other family members."""
+    if forward is None:
+        forward = srcnn.forward_y
+    pred = forward(params, lr_y, clamp=False)
     return jnp.mean((pred - hr_y) ** 2)
 
 
@@ -49,8 +56,9 @@ def param_shardings(mesh: Mesh, tp_axis: str = "col") -> dict:
     }
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4), donate_argnums=(0, 1))
-def train_step(params, opt_state, batch, optimizer, mesh: Mesh | None = None):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5), donate_argnums=(0, 1))
+def train_step(params, opt_state, batch, optimizer, mesh: Mesh | None = None,
+               forward=None):
     """One SGD step.  ``batch`` is (lr_y, hr_y) [B, H, W] float32."""
     lr_y, hr_y = batch
     if mesh is not None:
@@ -58,10 +66,10 @@ def train_step(params, opt_state, batch, optimizer, mesh: Mesh | None = None):
         lr_y = jax.lax.with_sharding_constraint(lr_y, sh)
         hr_y = jax.lax.with_sharding_constraint(hr_y, sh)
 
-    loss, grads = jax.value_and_grad(loss_fn)(params, lr_y, hr_y)
+    loss, grads = jax.value_and_grad(loss_fn)(params, lr_y, hr_y, forward)
     updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
-    if mesh is not None:
+    if mesh is not None and forward is None:  # tp shardings are 9-1-5 shaped
         psh = param_shardings(mesh)
         params = jax.lax.with_sharding_constraint(params, psh)
     return params, opt_state, loss
@@ -106,12 +114,13 @@ class Trainer:
     """Minimal training driver: optimizer + sharded step + checkpointing."""
 
     def __init__(self, params: dict | None = None, learning_rate: float = 1e-4,
-                 mesh: Mesh | None = None, seed: int = 0):
+                 mesh: Mesh | None = None, seed: int = 0, forward=None):
         self.params = params if params is not None else srcnn.init_params(
             jax.random.key(seed))
         self.optimizer = optax.adam(learning_rate)
         self.opt_state = self.optimizer.init(self.params)
         self.mesh = mesh
+        self.forward = forward  # None -> the 9-1-5 model
         self.step = 0
 
     def fit(self, batches, log_every: int = 0) -> list[float]:
@@ -123,7 +132,8 @@ class Trainer:
                 sh = NamedSharding(self.mesh, P("data", "row", None))
                 batch = tuple(jax.device_put(b, sh) for b in batch)
             self.params, self.opt_state, loss = train_step(
-                self.params, self.opt_state, batch, self.optimizer, self.mesh)
+                self.params, self.opt_state, batch, self.optimizer, self.mesh,
+                self.forward)
             self.step += 1
             losses.append(float(loss))
             if log_every and self.step % log_every == 0:

@@ -104,3 +104,35 @@ def test_graft_entry():
     out, conv = jax.jit(fn)(*args)
     assert out.shape == (256, 256, 3) and conv.shape == (256, 256)
     g.dryrun_multichip(8)
+
+
+def test_generic_model_family(images):
+    import functools
+
+    import jax.numpy as jnp
+
+    from libsrcnn_tpu.models import srcnn_generic as G
+
+    spec = G.ModelSpec(f1=5, n1=16, f2=3, n2=8, f3=3)
+    params = G.init_params(jax.random.key(4), spec)
+    assert G.spec_of(params) == spec
+    assert spec.param_count() == sum(int(np.prod(np.asarray(v).shape))
+                                     for v in params.values())
+    y = np.random.default_rng(40).uniform(0, 255, (20, 24)).astype(np.float32)
+    out = np.asarray(G.forward_y(params, jnp.asarray(y)))
+    assert out.shape == (20, 24) and out.min() >= 0 and out.max() <= 255
+
+    # 9-1-5 through the generic forward == the specialized forward
+    p915 = G.from_pretrained()
+    np.testing.assert_allclose(
+        np.asarray(G.forward_y(p915, jnp.asarray(y))),
+        np.asarray(srcnn.forward_y(p915, jnp.asarray(y))), atol=1e-5)
+    with pytest.raises(ValueError):
+        G.from_pretrained(spec)
+
+    # the variant trains through the shared Trainer
+    fw = functools.partial(G.forward_y, spec=spec)
+    tr = Trainer(params=params, learning_rate=1e-3, forward=fw)
+    losses = tr.fit([make_patch_batch(images, 8, patch=16, seed=s)
+                     for s in range(10)])
+    assert losses[-1] < losses[0]
