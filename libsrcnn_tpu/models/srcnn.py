@@ -95,10 +95,12 @@ def forward_y(params: dict, y: jnp.ndarray, *, clamp: bool = True) -> jnp.ndarra
     dtype = params["w1"].dtype
     x = x.astype(dtype)
 
+    # accumulation stays f32 (preferred_element_type); activations are cast
+    # back to the params dtype so bf16-mode weights see matching operands
     h1 = _conv(edge_pad(x, 4), params["w1"]) + params["b1"]
-    h1 = jnp.maximum(h1, 0.0)
+    h1 = jnp.maximum(h1, 0.0).astype(dtype)
     h2 = _conv(h1, params["w2"]) + params["b2"]
-    h2 = jnp.maximum(h2, 0.0)
+    h2 = jnp.maximum(h2, 0.0).astype(dtype)
     h3 = _conv(edge_pad(h2, 2), params["w3"]) + params["b3"]
     out = h3[..., 0].astype(jnp.float32)
     if clamp:

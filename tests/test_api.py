@@ -64,6 +64,16 @@ def test_step_scale_2x_single_pass(img):
     np.testing.assert_array_equal(direct, stepped)
 
 
+def test_bf16_mode_both_paths(img):
+    """bf16 compute dtype must run on both the XLA and pallas paths and
+    stay within a few LSB of the exact output."""
+    exact = lt.upscale(img, 2.0)
+    for pall in (False, True):
+        fast = lt.upscale(img, 2.0, lt.SRCNNConfig(
+            compute_dtype="bfloat16", use_pallas=pall))
+        assert np.abs(exact.astype(int) - fast.astype(int)).max() <= 4
+
+
 def test_gray_promotion(img):
     out = lt.upscale(img[..., 0], 2.0)
     assert out.shape == (40, 48, 3)
