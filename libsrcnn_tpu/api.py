@@ -104,7 +104,7 @@ def upscale(
                 break
         o, c = pipeline.run_pass(cur, params, float(curmf), config)
         out, conv = o, c
-        cur = np.asarray(o)
+        cur = o  # stays on device between passes (u8 quantization intact)
         if repeat > 1:
             sw = int(np.float32(sw) * curmf)
             sh = int(np.float32(sh) * curmf)
