@@ -29,6 +29,20 @@ def test_random_config_matches_oracle(seed):
     assert np.abs(gotc.astype(int) - wantc.astype(int)).max() <= 1
 
 
+@pytest.mark.parametrize("shape", [(1, 1, 3), (1, 8, 3), (2, 2, 4)])
+def test_degenerate_sizes(shape):
+    img = np.random.default_rng(60).integers(0, 256, shape, np.uint8)
+    out = upscale(img, 2.0)
+    assert out.shape == (shape[0] * 2, shape[1] * 2, shape[2])
+
+
+def test_extreme_scales():
+    img = np.random.default_rng(61).integers(0, 256, (8, 8, 3), np.uint8)
+    assert upscale(img, 8.0).shape == (64, 64, 3)
+    assert upscale(img, 0.25).shape == (2, 2, 3)
+    assert upscale(img, 7.5, SRCNNConfig(step_scale=True)).shape == (60, 60, 3)
+
+
 @pytest.mark.parametrize("seed", range(5))
 def test_random_step_scale(seed):
     rng = np.random.default_rng(2000 + seed)
