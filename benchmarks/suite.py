@@ -128,6 +128,10 @@ def bench_stages(size=1024, scale=2.0):
 
 
 def bench_batch(size=512, scale=2.0, batches=(1, 4, 8)):
+    """NOTE: unlike the other benchmarks, this measures the EAGER API
+    including full device->host output transfer; through the axon relay
+    that link runs at ~27 MB/s and dominates (real TPU hosts move GB/s).
+    Compute-side throughput is what bench_paths/bench_sizes report."""
     import jax
     import jax.numpy as jnp
 
@@ -136,7 +140,7 @@ def bench_batch(size=512, scale=2.0, batches=(1, 4, 8)):
 
     params = srcnn.load_params()
     rng = np.random.default_rng(0)
-    print(f"batched video @{size} x{scale}:")
+    print(f"batched video @{size} x{scale} (incl. device->host transfer):")
     for b in batches:
         frames = rng.integers(0, 256, (b, size, size, 3), np.uint8)
         upscale_frames(frames, scale, params=params)  # warm
