@@ -71,3 +71,12 @@ def test_end_to_end(png, capsys):
 def test_waitakey_accepted(png):
     path, _ = png
     assert cli.main([path, "--waitakey"]) == 0
+
+
+def test_parse_pallas_and_bf16_flags():
+    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png"])
+    assert cfg.use_pallas is None and cfg.compute_dtype == "float32"
+    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--no-pallas", "--bf16"])
+    assert cfg.use_pallas is False and cfg.compute_dtype == "bfloat16"
+    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--pallas"])
+    assert cfg.use_pallas is True

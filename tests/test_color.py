@@ -47,3 +47,14 @@ def test_roundtrip_quality():
     planes = color.rgb_to_ycbcr(jnp.asarray(img))
     back = np.asarray(color.ycbcr_to_rgb(planes))
     assert np.abs(back.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_exact_inverse_variant():
+    """`ycbcr_to_rgb_exact` mirrors the reference's unused exact-coefficient
+    converter (`libsrcnn.cpp:310-346`)."""
+    planes = np.asarray([[[128.0]], [[100.0]], [[200.0]]], dtype=np.float32)
+    got = np.asarray(color.ycbcr_to_rgb_exact(jnp.asarray(planes)))[0, 0]
+    y, cb, cr = 128.0, 100.0, 200.0
+    want = [np.floor(min(255.0, max(0.0, v))) for v in (
+        y + 1.402 * cr, y - 0.34414 * cb - 0.71414 * cr, y + 1.772 * cb)]
+    np.testing.assert_array_equal(got, np.asarray(want, np.uint8))

@@ -145,3 +145,29 @@ def test_distributed_helpers():
     assert distributed.process_local_batch(8) == 8
     with pytest.raises(ValueError):
         distributed.global_mesh(data=3)
+
+
+def test_profiler_trace(tmp_path):
+    import jax.numpy as jnp
+
+    from libsrcnn_tpu.utils.profiling import trace
+
+    with trace(str(tmp_path)):
+        float(jnp.sum(jnp.ones((16, 16))))
+    import os
+
+    assert any(os.scandir(str(tmp_path)))  # trace artifacts written
+
+
+def test_train_cli_with_mesh(tmp_path, butterfly):
+    from libsrcnn_tpu.io import save_png
+    from libsrcnn_tpu.train import cli as tcli
+
+    save_png(str(tmp_path / "img.png"), butterfly[:48, :48])
+    ck = str(tmp_path / "ck.npz")
+    rc = tcli.main([str(tmp_path), "--steps=2", "--batch=8", "--patch=16",
+                    "--mesh=2,2,2", f"--ckpt={ck}"])
+    assert rc == 0
+    import os
+
+    assert os.path.exists(ck)
