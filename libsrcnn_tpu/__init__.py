@@ -12,11 +12,17 @@ import os as _os
 
 # Persistent XLA compilation cache: first compile of each shape costs
 # 10-40 s through the remote TPU compiler; cache unless the user already
-# configured one (opt out with LIBSRCNN_TPU_NO_CACHE=1).
-if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and not _os.environ.get(
-        "LIBSRCNN_TPU_NO_CACHE"):
-    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _os.path.expanduser(
-        "~/.cache/libsrcnn_tpu_xla")
+# configured one (opt out with LIBSRCNN_TPU_NO_CACHE=1).  Set via
+# jax.config because the env var is only read at jax import time and this
+# container's sitecustomize imports jax before any user package.
+if not _os.environ.get("LIBSRCNN_TPU_NO_CACHE"):
+    import jax as _jax
+
+    if not _os.environ.get("JAX_COMPILATION_CACHE_DIR") and not (
+            _jax.config.jax_compilation_cache_dir):
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser("~/.cache/libsrcnn_tpu_xla"))
 
 from .config import DEFAULT_CONFIG, FilterType, SRCNNConfig
 from .api import configure_filter_srcnn, process_srcnn, upscale
