@@ -1,0 +1,152 @@
+"""FSRCNN (Dong et al., ECCV 2016 -- "Accelerating the Super-Resolution
+Convolutional Neural Network") as a second model family.
+
+Where SRCNN interpolates FIRST and then convolves at high resolution,
+FSRCNN runs its feature stack at LOW resolution and upscales at the end
+with a learned transposed convolution -- (scale^2)x fewer conv FLOPs.  No
+pre-trained weights ship (the reference covers only SRCNN 9-1-5); this
+family exists to be trained via :mod:`libsrcnn_tpu.train`:
+
+>>> spec = FSRCNNSpec(scale=2)
+>>> params = init_params(jax.random.key(0), spec)
+>>> hr_y = forward_lr(params, lr_y, spec)     # [H, W] -> [2H, 2W]
+
+Layers (paper notation d=56, s=12, m=4):
+  feature extraction 5x5x(d) -> shrink 1x1x(s) -> m mapping 3x3x(s) ->
+  expand 1x1x(d) -> deconv 9x9 stride=scale -> 1 channel.
+PReLU activations (per-channel alpha), replicate padding, [0,255] domain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class FSRCNNSpec:
+    scale: int = 2
+    d: int = 56   # feature dim
+    s: int = 12   # shrink dim
+    m: int = 4    # mapping depth
+
+    @property
+    def name(self) -> str:
+        return f"fsrcnn-x{self.scale}-d{self.d}s{self.s}m{self.m}"
+
+
+def init_params(key: jax.Array, spec: FSRCNNSpec = FSRCNNSpec(),
+                dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 4 + spec.m)
+
+    def conv_init(k, kh, kw, cin, cout):
+        # He init for PReLU nets
+        std = float(np.sqrt(2.0 / (kh * kw * cin)))
+        return jax.random.normal(k, (kh, kw, cin, cout), dtype) * std
+
+    params = {
+        "feat_w": conv_init(ks[0], 5, 5, 1, spec.d),
+        "feat_b": jnp.zeros((spec.d,), dtype),
+        "feat_a": jnp.full((spec.d,), 0.25, dtype),
+        "shrink_w": conv_init(ks[1], 1, 1, spec.d, spec.s),
+        "shrink_b": jnp.zeros((spec.s,), dtype),
+        "shrink_a": jnp.full((spec.s,), 0.25, dtype),
+        "expand_w": conv_init(ks[2], 1, 1, spec.s, spec.d),
+        "expand_b": jnp.zeros((spec.d,), dtype),
+        "expand_a": jnp.full((spec.d,), 0.25, dtype),
+        # transposed conv 9x9, stride=scale, d -> 1
+        "deconv_w": conv_init(ks[3], 9, 9, spec.d, 1) * 0.1,
+        "deconv_b": jnp.zeros((1,), dtype),
+    }
+    for i in range(spec.m):
+        params[f"map{i}_w"] = conv_init(ks[4 + i], 3, 3, spec.s, spec.s)
+        params[f"map{i}_b"] = jnp.zeros((spec.s,), dtype)
+        params[f"map{i}_a"] = jnp.full((spec.s,), 0.25, dtype)
+    return params
+
+
+def _prelu(x, alpha):
+    return jnp.where(x >= 0, x, x * alpha)
+
+
+def _conv_same(x, w):
+    kh, kw = w.shape[0], w.shape[1]
+    x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+                mode="edge")
+    return lax.conv_general_dilated(
+        x, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+
+
+def forward_lr(params: dict, lr_y: jnp.ndarray,
+               spec: FSRCNNSpec = FSRCNNSpec(), *, clamp: bool = True):
+    """LR Y plane(s) [H, W] or [N, H, W] -> HR [scale*H, scale*W]."""
+    squeeze = lr_y.ndim == 2
+    if squeeze:
+        lr_y = lr_y[None]
+    x = lr_y[..., None].astype(params["feat_w"].dtype)
+
+    h = _prelu(_conv_same(x, params["feat_w"]) + params["feat_b"],
+               params["feat_a"])
+    h = _prelu(_conv_same(h, params["shrink_w"]) + params["shrink_b"],
+               params["shrink_a"])
+    for i in range(spec.m):
+        h = _prelu(_conv_same(h, params[f"map{i}_w"]) + params[f"map{i}_b"],
+                   params[f"map{i}_a"])
+    h = _prelu(_conv_same(h, params["expand_w"]) + params["expand_b"],
+               params["expand_a"])
+
+    # learned upscale: transposed conv, stride = scale, SAME-style output
+    up = lax.conv_transpose(
+        h, params["deconv_w"], (spec.scale, spec.scale), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)
+    out = (up + params["deconv_b"])[..., 0].astype(jnp.float32)
+    if clamp:
+        out = jnp.clip(out, 0.0, 255.0)
+    return out[0] if squeeze else out
+
+
+def make_loss_forward(spec: FSRCNNSpec):
+    """Adapter for :func:`libsrcnn_tpu.train.trainer.loss_fn`: FSRCNN
+    consumes the RAW low-resolution plane, so training pairs are
+    (lr_small_y, hr_y) with hr = scale * lr.  Use
+    ``make_lr_patch_batch`` below to build them."""
+    def forward(params, lr_y, clamp=False):
+        return forward_lr(params, lr_y, spec, clamp=clamp)
+
+    return forward
+
+
+def make_lr_patch_batch(images, batch_size: int, patch: int = 16,
+                        spec: FSRCNNSpec = FSRCNNSpec(), seed: int = 0,
+                        filter_type=None):
+    """(lr [B,p,p], hr [B,s*p,s*p]) pairs: HR crops + classical downscale."""
+    from ..config import FilterType
+    from ..ops import color, resize
+
+    if filter_type is None:
+        filter_type = FilterType.BICUBIC
+    rng = np.random.default_rng(seed)
+    sp = patch * spec.scale
+    lr = np.empty((batch_size, patch, patch), np.float32)
+    hr = np.empty((batch_size, sp, sp), np.float32)
+    for b in range(batch_size):
+        img = images[rng.integers(len(images))]
+        h, w = img.shape[:2]
+        if h < sp or w < sp:
+            raise ValueError(f"image {h}x{w} smaller than HR patch {sp}")
+        r = rng.integers(h - sp + 1)
+        c = rng.integers(w - sp + 1)
+        crop = img[r:r + sp, c:c + sp]
+        hr_y = np.asarray(color.rgb_to_ycbcr(jnp.asarray(crop))[0])
+        lr[b] = np.asarray(resize.resize_plane(
+            jnp.asarray(hr_y), patch, patch, filter_type))
+        hr[b] = hr_y
+    return lr, hr
