@@ -63,7 +63,9 @@ def main() -> None:
     try:
         last = run_stream()  # compile + warmup
     except Exception:
-        if cfg.use_pallas:  # pallas path failed on this backend: fall back
+        # pallas path (explicit True or auto-resolved on TPU) failed on this
+        # backend: fall back to the XLA convs
+        if pipeline.resolve_pallas(cfg.use_pallas):
             cfg = SRCNNConfig(use_pallas=False)
             last = run_stream()
         else:

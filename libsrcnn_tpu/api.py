@@ -160,7 +160,11 @@ def process_srcnn(refbuff, w: int, h: int, d: int, multiply: float):
       -2 for bad scale (matching `libsrcnn.cpp:951-966`); outbuff/convbuff
       are flat u8 numpy arrays (or None on failure).
     """
-    if refbuff is None or w == 0 or h == 0 or d == 0:
+    # The reference declares w/h/d `unsigned` (`libsrcnn.h:48-50`), so a
+    # negative geometry is unrepresentable there; in Python we report it as
+    # bad args (-1) like the NULL/zero check (`libsrcnn.cpp:951-952`)
+    # instead of letting reshape raise.
+    if refbuff is None or w <= 0 or h <= 0 or d <= 0:
         return -1, None, None
     buf = np.frombuffer(bytes(refbuff), dtype=np.uint8) if not isinstance(
         refbuff, np.ndarray) else np.asarray(refbuff, dtype=np.uint8).ravel()

@@ -61,9 +61,19 @@ def available() -> bool:
     return _lib() is not None
 
 
+def _require_lib():
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError(
+            "native host library unavailable (build with `make -C native`); "
+            "use the numpy/JAX implementations in ops.color / "
+            "ops.weights_table instead")
+    return lib
+
+
 def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     """u8 [H,W,D] -> f32 planar [D,H,W], native OpenMP path."""
-    lib = _lib()
+    lib = _require_lib()
     h, w, d = img.shape
     img = np.ascontiguousarray(img, dtype=np.uint8)
     out = np.empty((d, h, w), dtype=np.float32)
@@ -76,7 +86,7 @@ def rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
 
 def ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
     """f32 planar [D,H,W] -> u8 [H,W,D], native OpenMP path."""
-    lib = _lib()
+    lib = _require_lib()
     d, h, w = planes.shape
     planes = np.ascontiguousarray(planes, dtype=np.float32)
     out = np.empty((h, w, d), dtype=np.uint8)
@@ -92,7 +102,7 @@ def contribution_table(filter_type: int, dst_size: int, src_size: int):
     :func:`libsrcnn_tpu.ops.weights_table.contribution_table`."""
     import math
 
-    lib = _lib()
+    lib = _require_lib()
     fw = {0: 0.5, 1: 1.0, 3: 3.0}.get(int(filter_type), 2.0)
     scale = dst_size / src_size
     width = fw / scale if scale < 1.0 else fw

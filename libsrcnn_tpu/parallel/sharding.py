@@ -21,6 +21,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SRCNNConfig
@@ -35,10 +36,17 @@ def _batch_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh):
         filter_type=filter_type, use_pallas=use_pallas,
     )
     vbody = jax.vmap(body, in_axes=(0, None))
-    img_sh = NamedSharding(mesh, P("data", None, None, None))
-    out_sh = (NamedSharding(mesh, P("data", None, None, None)),
-              NamedSharding(mesh, P("data", None, None)))
-    return jax.jit(vbody, in_shardings=(img_sh, None), out_shardings=out_sh)
+    # shard_map, not GSPMD annotations: each device runs the full per-frame
+    # pipeline on its local batch shard (zero communication), which keeps
+    # the fused Pallas kernel a plain per-device call -- the GSPMD
+    # partitioner cannot split a pallas custom call, so an annotation-based
+    # version could only honor use_pallas by replicating the batch.
+    smapped = shard_map(
+        vbody, mesh=mesh,
+        in_specs=(P("data", None, None, None), P()),
+        out_specs=(P("data", None, None, None), P("data", None, None)),
+    )
+    return jax.jit(smapped)
 
 
 def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh):
@@ -52,24 +60,22 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
     if n % dp:
         raise ValueError(f"batch {n} not divisible by data axis {dp}")
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
-    fn = _batch_fn(h, w, d, dst_h, dst_w, int(cfg.filter), cfg.use_pallas, mesh)
+    fn = _batch_fn(h, w, d, dst_h, dst_w, int(cfg.filter),
+                   pipeline.resolve_pallas(cfg.use_pallas), mesh)
     return fn(images, params)
 
 
 @functools.lru_cache(maxsize=64)
-def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh):
-    # GSPMD cannot partition a pallas custom call, so this path always uses
-    # the XLA convs; for an explicitly tiled pipeline with the fused kernel
-    # per shard use parallel.tiled.upscale_tiled instead.
-    del use_pallas
-
+def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, mesh):
     def body(img, params):
         out, conv = pipeline._single_pass(
             img, params, dst_h=dst_h, dst_w=dst_w,
             filter_type=filter_type, use_pallas=False,
         )
+        spatial = NamedSharding(mesh, P("row", "col"))
         out = jax.lax.with_sharding_constraint(
             out, NamedSharding(mesh, P("row", "col", None)))
+        conv = jax.lax.with_sharding_constraint(conv, spatial)
         return out, conv
 
     img_sh = NamedSharding(mesh, P("row", "col", None))
@@ -79,8 +85,21 @@ def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh):
 def upscale_spatial(image, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh):
     """Upscale one [H, W, D] u8 frame with H/W sharded over ``row``/``col``;
     XLA GSPMD partitions the resize matmuls and convs, inserting halo
-    collectives over ICI."""
+    collectives over ICI.
+
+    This path always runs the XLA convolutions: the GSPMD partitioner
+    cannot split a pallas custom call, so ``cfg.use_pallas=True`` is
+    rejected rather than silently ignored.  For an explicitly tiled
+    pipeline that runs the fused Pallas kernel per shard, use
+    :func:`libsrcnn_tpu.parallel.tiled.upscale_tiled` (see PARITY.md for
+    the measured comparison).
+    """
+    if cfg.use_pallas:
+        raise ValueError(
+            "upscale_spatial cannot honor use_pallas=True (GSPMD cannot "
+            "partition a pallas call); use parallel.tiled.upscale_tiled "
+            "for the fused-kernel multi-device path, or use_pallas=None.")
     h, w, d = image.shape
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
-    fn = _spatial_fn(h, w, d, dst_h, dst_w, int(cfg.filter), cfg.use_pallas, mesh)
+    fn = _spatial_fn(h, w, d, dst_h, dst_w, int(cfg.filter), mesh)
     return fn(image, params)

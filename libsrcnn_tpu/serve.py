@@ -84,17 +84,33 @@ class VideoUpscaler:
     #: propagating (tunneled/pre-empted backends can drop a dispatch; the
     #: reference has no failure handling at all, SURVEY.md section 5)
     max_retries: int = 2
+    #: first retry waits this long; each subsequent retry doubles it
+    retry_backoff_s: float = 0.05
 
     def _run_one(self, frame: np.ndarray):
+        import logging
+        import time
+
         import jax
 
         last_err = None
-        for _ in range(self.max_retries + 1):
+        for attempt in range(self.max_retries + 1):
             try:
                 return pipeline.run_pass(jnp.asarray(frame), self.params,
                                          self.scale, self.config)[0]
-            except jax.errors.JaxRuntimeError as e:  # transient device error
+            except jax.errors.JaxRuntimeError as e:
+                # Deterministic failures (tracing/lowering problems surface
+                # as TypeError/ValueError, not JaxRuntimeError) are not
+                # retried; runtime errors from a tunneled/pre-empted device
+                # are worth re-dispatching after a short backoff.
                 last_err = e
+                if attempt < self.max_retries:
+                    wait = self.retry_backoff_s * (2 ** attempt)
+                    logging.getLogger(__name__).warning(
+                        "device error on frame dispatch (attempt %d/%d), "
+                        "retrying in %.2fs: %s", attempt + 1,
+                        self.max_retries, wait, e)
+                    time.sleep(wait)
         raise last_err
 
     def stream(self, frames: Iterable[np.ndarray]) -> Iterator[np.ndarray]:

@@ -30,6 +30,17 @@ def test_process_srcnn_error_codes(img):
     assert lt.process_srcnn(img.tobytes(), 24, 20, 3, -2.0)[0] == -2
 
 
+def test_process_srcnn_negative_geometry(img):
+    # negative sizes are unrepresentable in the reference's `unsigned`
+    # signature (`libsrcnn.h:48-50`); the shim reports bad args (-1)
+    # instead of raising out of reshape -- even when w*h*d happens to
+    # match the buffer length (e.g. two negatives cancelling).
+    assert lt.process_srcnn(img.tobytes(), -24, 20, 3, 2.0)[0] == -1
+    assert lt.process_srcnn(img.tobytes(), 24, -20, 3, 2.0)[0] == -1
+    assert lt.process_srcnn(img.tobytes(), 24, 20, -3, 2.0)[0] == -1
+    assert lt.process_srcnn(img.tobytes(), -24, -20, 3, -2.0)[0] == -1
+
+
 def test_process_srcnn_success(img):
     rc, out, conv = lt.process_srcnn(img.tobytes(), 24, 20, 3, 2.0)
     assert rc == 0

@@ -121,6 +121,25 @@ def test_stream_retries_transient_errors(butterfly, monkeypatch):
     assert len(outs) == 1 and calls["n"] == 2
 
 
+def test_stream_retry_exhaustion_propagates(butterfly, monkeypatch):
+    import jax
+
+    from libsrcnn_tpu import pipeline
+
+    up = VideoUpscaler(scale=2.0)
+    up.retry_backoff_s = 0.0  # keep the test fast
+    calls = {"n": 0}
+
+    def dead(*a, **kw):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("device gone")
+
+    monkeypatch.setattr(pipeline, "run_pass", dead)
+    with pytest.raises(jax.errors.JaxRuntimeError, match="device gone"):
+        list(up.stream(iter([butterfly[:16, :16]])))
+    assert calls["n"] == up.max_retries + 1
+
+
 def test_stage_timer():
     import jax.numpy as jnp
 

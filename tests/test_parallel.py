@@ -95,6 +95,16 @@ def test_gspmd_spatial_matches_single(params):
     np.testing.assert_array_equal(np.asarray(conv), refc)
 
 
+def test_gspmd_spatial_rejects_pallas(params):
+    # GSPMD cannot partition a pallas call: an explicit use_pallas=True is
+    # an error, never silently ignored (use parallel.tiled instead).
+    mesh = make_mesh({"data": 1, "row": 4, "col": 2})
+    img = np.random.default_rng(11).integers(0, 256, (64, 64, 3), np.uint8)
+    with pytest.raises(ValueError, match="use_pallas"):
+        sharding.upscale_spatial(jnp.asarray(img), params, 2.0,
+                                 SRCNNConfig(use_pallas=True), mesh)
+
+
 def test_default_mesh_shapes():
     m = default_mesh(8)
     assert int(np.prod(list(m.shape.values()))) == 8
