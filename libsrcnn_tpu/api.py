@@ -74,7 +74,15 @@ def upscale(
     """
     img = _as_u8_image(image)
     if params is None:
-        params = srcnn.load_params(dtype=config.compute_dtype)
+        if config.model == "fsrcnn":
+            from .models import fsrcnn
+
+            # step-scale chains x2 passes, so x2 weights serve any factor
+            fparams, spec = fsrcnn.load_params(
+                scale=2 if config.step_scale else int(scale))
+            params = dict(fparams, __spec__=spec)
+        else:
+            params = srcnn.load_params(dtype=config.compute_dtype)
     want_conv = config.emit_conv_map if return_conv_map is None else return_conv_map
 
     h, w, _ = img.shape

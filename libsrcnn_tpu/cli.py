@@ -12,9 +12,10 @@ The reference CLI (`test.cpp:290-448,513-531`):
   (`test.cpp:387-445`)
 
 TPU-native extras: ``--filter`` also accepts names, ``--pallas`` routes the
-conv stack through the fused Pallas kernels, ``--debug-dir=DIR`` dumps
-intermediate planes like the reference's DEBUG builds, ``--repeat=N`` for
-quick timing loops.
+conv stack through the fused Pallas kernels, ``--model=fsrcnn`` selects the
+FSRCNN family (learned-deconv upscale, integer scale), ``--debug-dir=DIR``
+dumps intermediate planes like the reference's DEBUG builds, ``--repeat=N``
+for quick timing loops.
 
 Run as ``python -m libsrcnn_tpu.cli`` or the ``srcnn-tpu`` entry point.
 """
@@ -48,6 +49,7 @@ def parse_args(argv: list[str]):
     filter_type = FilterType.BICUBIC
     step = False
     use_pallas = None  # auto: pallas on TPU, XLA elsewhere
+    model = "srcnn"
     dtype = "float32"
     repeat = 1
     debug_dir = None
@@ -74,6 +76,10 @@ def parse_args(argv: list[str]):
             use_pallas = False
         elif arg.startswith("--pallas"):
             use_pallas = True
+        elif arg.startswith("--model="):
+            model = arg[8:]
+            if model not in ("srcnn", "fsrcnn"):
+                raise SystemExit(f"unknown model: {model}")
         elif arg == "--bf16":
             dtype = "bfloat16"  # throughput mode (~1.5x, SSIM>=0.999)
         elif arg.startswith("--repeat="):
@@ -93,14 +99,15 @@ def parse_args(argv: list[str]):
         raise SystemExit(
             "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
             "--scale=F --filter=0..4|name --step --pallas|--no-pallas "
-            "--bf16 --repeat=N --debug-dir=DIR"
+            "--model=srcnn|fsrcnn --bf16 --repeat=N --debug-dir=DIR"
         )
     if file_dst is None:
         file_dst = _auto_name(file_src, "resized")
     file_conv = _auto_name(file_src, "convolution")
 
     cfg = SRCNNConfig(filter=filter_type, step_scale=step,
-                      use_pallas=use_pallas, compute_dtype=dtype)
+                      use_pallas=use_pallas, compute_dtype=dtype,
+                      model=model)
     return file_src, file_dst, file_conv, scale, cfg, repeat, debug_dir
 
 
@@ -119,7 +126,8 @@ def main(argv: list[str] | None = None) -> int:
     img = load_image(src)
     print(f"{src}: {img.shape[1]}x{img.shape[0]}x{img.shape[2]}, "
           f"scale={scale}, filter={cfg.filter.name.lower()}, "
-          f"step={'on' if cfg.step_scale else 'off'}")
+          f"step={'on' if cfg.step_scale else 'off'}"
+          + (f", model={cfg.model}" if cfg.model != "srcnn" else ""))
 
     out = conv = None
     t0 = get_tick_count()

@@ -53,6 +53,12 @@ class SRCNNConfig:
         ``None`` (default) auto-selects: Pallas on TPU (where it is both
         ~2x faster and MORE accurate than XLA's bf16-precision convs),
         XLA elsewhere.
+      model: which model family upscales the Y channel.  ``"srcnn"``
+        (default) is the reference's 9-1-5 stack on the pre-interpolated
+        plane; ``"fsrcnn"`` runs the FSRCNN family (features at LOW
+        resolution, learned deconv upscale -- beyond-reference, shipped
+        x2 weights trained by tools/train_fsrcnn.py).  FSRCNN requires
+        the scale to equal the trained model's integer factor.
     """
 
     filter: FilterType = FilterType.BICUBIC
@@ -60,6 +66,7 @@ class SRCNNConfig:
     compute_dtype: str = "float32"
     emit_conv_map: bool = False
     use_pallas: bool | None = None
+    model: str = "srcnn"
 
 
 DEFAULT_CONFIG = SRCNNConfig()

@@ -15,16 +15,25 @@ Layers (paper notation d=56, s=12, m=4):
   feature extraction 5x5x(d) -> shrink 1x1x(s) -> m mapping 3x3x(s) ->
   expand 1x1x(d) -> deconv 9x9 stride=scale -> 1 channel.
 PReLU activations (per-channel alpha), replicate padding, [0,255] domain.
+
+Shipped weights: ``weights/fsrcnn_x2.npz``, trained by
+tools/train_fsrcnn.py on the reference repo's castle.jpg plus two public
+sample photos with the framework's own Mitchell-bicubic degradation model
+(butterfly held out for validation); :func:`load_params` restores them.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -67,6 +76,35 @@ def init_params(key: jax.Array, spec: FSRCNNSpec = FSRCNNSpec(),
         params[f"map{i}_b"] = jnp.zeros((spec.s,), dtype)
         params[f"map{i}_a"] = jnp.full((spec.s,), 0.25, dtype)
     return params
+
+
+@functools.lru_cache(maxsize=4)
+def _load_cached(path: str):
+    z = np.load(path)
+    spec = FSRCNNSpec(scale=int(z["meta_scale"]), d=int(z["meta_d"]),
+                      s=int(z["meta_s"]), m=int(z["meta_m"]))
+    params = {k: jnp.asarray(z[k]) for k in z.files
+              if not k.startswith("meta_")}
+    return params, spec
+
+
+def load_params(scale: int = 2, path: str | None = None,
+                dtype=jnp.float32):
+    """Load shipped (or checkpointed) FSRCNN weights.
+
+    Returns ``(params, spec)``; the spec is reconstructed from the
+    checkpoint's metadata so callers never have to guess the architecture.
+    """
+    if path is None:
+        path = os.path.join(WEIGHTS_DIR, f"fsrcnn_x{scale}.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no shipped FSRCNN weights for x{scale} ({path}); train "
+                f"them with tools/train_fsrcnn.py")
+    params, spec = _load_cached(os.path.abspath(path))
+    if dtype != jnp.float32:
+        params = {k: v.astype(dtype) for k, v in params.items()}
+    return params, spec
 
 
 def _prelu(x, alpha):

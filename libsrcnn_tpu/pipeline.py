@@ -22,11 +22,14 @@ from .ops import color, resize
 
 
 def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
-                 compute_dtype="float32"):
+                 compute_dtype="float32", model="srcnn", fsrcnn_spec=None):
     """Trace-time builder: [H,W,D] u8 -> ([dst_h,dst_w,D] u8, [dst_h,dst_w] u8).
 
     Mirrors `doSRCNN` (`libsrcnn.cpp:628-923`): the second output is the
-    truncated-u8 conv3 map (`:889-915`).
+    truncated-u8 conv3 map (`:889-915`).  With ``model="fsrcnn"`` the Y
+    channel skips the classical pre-interpolation and goes through the
+    FSRCNN low-resolution stack + learned deconv instead (chroma keeps the
+    reference's classical policy).
     """
     d = img_u8.shape[-1]
     planes = color.rgb_to_ycbcr(img_u8)  # [D,H,W] f32
@@ -34,15 +37,19 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
     y_filter = FilterType(filter_type)
     c_filter = chroma_filter(y_filter)
 
-    y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
     rest = [
         resize.resize_plane(planes[c], dst_h, dst_w, c_filter) for c in range(1, d)
     ]
 
-    if use_pallas:
+    if model == "fsrcnn":
+        from .models import fsrcnn
+
+        y_sr = fsrcnn.forward_lr(params, planes[0], fsrcnn_spec)
+    elif use_pallas:
         import jax
         from .kernels import fused_conv
 
+        y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
         # bfloat16 compute: single-pass MXU matmuls (~1.5x faster,
         # SSIM >= 0.999 vs exact); float32 forces the multi-pass exact
         # algorithm matching the reference.  (Storing operands as bf16 was
@@ -52,6 +59,7 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
                 else jax.lax.Precision.DEFAULT)
         y_sr = fused_conv.forward_y(params, y_r, precision=prec)
     else:
+        y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
         y_sr = srcnn.forward_y(params, y_r)
 
 
@@ -66,12 +74,13 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
 @functools.lru_cache(maxsize=128)
 def compiled_pass(h: int, w: int, d: int, dst_h: int, dst_w: int,
                   filter_type: int, use_pallas: bool,
-                  compute_dtype: str = "float32"):
+                  compute_dtype: str = "float32", model: str = "srcnn",
+                  fsrcnn_spec=None):
     """JIT-compiled single pass for one static shape configuration."""
     fn = functools.partial(
         _single_pass, dst_h=dst_h, dst_w=dst_w,
         filter_type=filter_type, use_pallas=use_pallas,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, model=model, fsrcnn_spec=fsrcnn_spec,
     )
     return jax.jit(fn)
 
@@ -123,11 +132,25 @@ def resolve_pallas(use_pallas) -> bool:
 
 
 def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
-    """One resize+SRCNN pass; returns (out_u8, conv_u8) device arrays."""
+    """One resize+model pass; returns (out_u8, conv_u8) device arrays."""
     h, w, d = img_u8.shape
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
     if dst_w <= 0 or dst_h <= 0:
         raise ValueError(f"bad scale {multiply} for {w}x{h}")
+    spec = None
+    if cfg.model == "fsrcnn":
+        from .models import fsrcnn
+
+        spec = params.get("__spec__") or fsrcnn.FSRCNNSpec()
+        params = {k: v for k, v in params.items() if k != "__spec__"}
+        if (dst_h, dst_w) != (h * spec.scale, w * spec.scale):
+            raise ValueError(
+                f"fsrcnn x{spec.scale} weights require scale "
+                f"{spec.scale} exactly; got {multiply} "
+                f"({w}x{h} -> {dst_w}x{dst_h})")
+    elif cfg.model != "srcnn":
+        raise ValueError(f"unknown model {cfg.model!r}")
     fn = compiled_pass(h, w, d, dst_h, dst_w, int(cfg.filter),
-                       resolve_pallas(cfg.use_pallas), cfg.compute_dtype)
+                       resolve_pallas(cfg.use_pallas), cfg.compute_dtype,
+                       cfg.model, spec)
     return fn(img_u8, params)

@@ -60,3 +60,73 @@ def test_patch_batch_shapes(spec):
     assert lr.shape == (4, 10, 10) and hr.shape == (4, 20, 20)
     with pytest.raises(ValueError):
         fsrcnn.make_lr_patch_batch(imgs, 2, patch=32, spec=spec)
+
+
+# --- shipped weights + public-API integration -----------------------------
+
+def _shipped():
+    try:
+        return fsrcnn.load_params(scale=2)
+    except FileNotFoundError:
+        pytest.skip("shipped fsrcnn_x2.npz missing -- run tools/train_fsrcnn.py")
+
+
+def test_shipped_weights_load():
+    params, spec = _shipped()
+    assert spec.scale == 2
+    assert params["feat_w"].shape == (5, 5, 1, spec.d)
+    assert params["deconv_w"].shape == (9, 9, spec.d, 1)
+
+
+def test_shipped_fsrcnn_beats_bicubic_on_heldout():
+    """Golden-style quality gate: on the held-out butterfly image, the
+    shipped FSRCNN beats classical bicubic upscaling (the reference's
+    default interpolation) in Y-channel PSNR."""
+    from PIL import Image
+
+    from libsrcnn_tpu.config import FilterType
+    from libsrcnn_tpu.eval.metrics import psnr
+    from libsrcnn_tpu.ops import color, resize
+
+    params, spec = _shipped()
+    img = np.asarray(Image.open(
+        "/root/reference/Pictures/butterfly.png").convert("RGB"))
+    hr_y = np.asarray(color.rgb_to_ycbcr(jnp.asarray(img))[0])
+    h, w = hr_y.shape
+    lr_y = resize.resize_plane(jnp.asarray(hr_y), h // 2, w // 2,
+                               FilterType.BICUBIC)
+    sr = np.asarray(fsrcnn.forward_lr(params, lr_y, spec))
+    bic = np.clip(np.asarray(resize.resize_plane(lr_y, h, w,
+                                                 FilterType.BICUBIC)), 0, 255)
+    p_sr, p_bic = psnr(sr, hr_y), psnr(bic, hr_y)
+    assert p_sr > p_bic, f"FSRCNN {p_sr:.2f} dB <= bicubic {p_bic:.2f} dB"
+
+
+def test_fsrcnn_via_public_api():
+    from libsrcnn_tpu import SRCNNConfig, upscale
+
+    _shipped()
+    img = np.random.default_rng(9).integers(0, 256, (20, 24, 3), np.uint8)
+    out, conv = upscale(img, 2.0, SRCNNConfig(model="fsrcnn"),
+                        return_conv_map=True)
+    assert out.shape == (40, 48, 3) and out.dtype == np.uint8
+    assert conv.shape == (40, 48)
+    # non-integer factors are rejected with a clear error
+    with pytest.raises(ValueError, match="fsrcnn"):
+        upscale(img, 2.5, SRCNNConfig(model="fsrcnn"))
+
+
+def test_fsrcnn_via_cli(tmp_path):
+    from libsrcnn_tpu import cli
+    from libsrcnn_tpu.io import save_png
+
+    _shipped()
+    img = np.random.default_rng(10).integers(0, 256, (16, 16, 3), np.uint8)
+    src = str(tmp_path / "in.png")
+    save_png(src, img)
+    rc = cli.main([src, "--scale=2", "--model=fsrcnn"])
+    assert rc == 0
+    from PIL import Image
+
+    out = np.asarray(Image.open(str(tmp_path / "in_resized.png")))
+    assert out.shape == (32, 32, 3)
