@@ -151,6 +151,39 @@ def bench_batch(size=512, scale=2.0, batches=(1, 4, 8)):
         print(f"  batch {b:2d}: {dt*1000:8.1f} ms  {mp/dt:8.1f} MP/s")
 
 
+def bench_batch_device(scale=2.0, sizes=(256, 512), batches=(1, 4, 8, 16)):
+    """Small-frame serving throughput with DEVICE-RESIDENT outputs: one
+    vmapped dispatch per clip (serve._batch_pass), stream-timed with a
+    single final 1-element sync -- measures the chip, not the ~27 MB/s
+    relay transfer that bench_batch includes.  This is the number that
+    shows batched dispatch recovering small-frame throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsrcnn_tpu import SRCNNConfig, serve
+    from libsrcnn_tpu.models import srcnn
+
+    params = jax.device_put(srcnn.load_params())
+    cfg = SRCNNConfig()
+    rng = np.random.default_rng(0)
+    print(f"batched serving, device-resident outputs (x{scale}):")
+    for size in sizes:
+        for b in batches:
+            clips = [jax.device_put(jnp.asarray(rng.integers(
+                0, 256, (b, size, size, 3), np.uint8))) for _ in range(4)]
+
+            def run():
+                last = None
+                for c in clips:
+                    last = serve._batch_pass(c, params, scale, cfg)
+                return last
+
+            ms = _time(run, n=4) / len(clips)
+            mp = b * (size * scale) ** 2 / 1e6
+            print(f"  {size:4d}^2 batch {b:2d}: {ms:8.1f} ms/clip  "
+                  f"{mp / (ms / 1e3):8.1f} MP/s")
+
+
 def bench_scaling(scale=2.0):
     import jax
 
@@ -189,7 +222,8 @@ def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     which = set(a.lstrip("-") for a in argv) or {"paths"}
     if "all" in which:
-        which = {"paths", "sizes", "stages", "batch", "scaling"}
+        which = {"paths", "sizes", "stages", "batch", "batch-device",
+                 "scaling"}
     if "paths" in which:
         bench_paths()
     if "sizes" in which:
@@ -198,6 +232,8 @@ def main(argv=None):
         bench_stages()
     if "batch" in which:
         bench_batch()
+    if "batch-device" in which:
+        bench_batch_device()
     if "scaling" in which:
         bench_scaling()
     return 0

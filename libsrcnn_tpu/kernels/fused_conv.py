@@ -12,21 +12,24 @@ Mosaic imposes hard layout rules (VMEM slices must be (8,128)-tile aligned,
 shape casts across the lane dim are unsupported), so the kernel is built
 exclusively from ops that are native on TPU:
 
-* XLA pre-tiles the replicate-padded plane into overlapping windows
-  T [GW, GH, RB, 1, EW] (~1.2x one input copy of HBM traffic), so every
-  Pallas block is a standard aligned BlockSpec -- no manual DMA, and the
-  Pallas pipeline double-buffers tiles automatically.  Window rows ride the
-  MAJOR dim (sublane dim is 1), making each 9x9 tap a major-offset plus a
-  <=8 lane rotate.
-* im2col: 81 tap slices stored into the sublane dim of q [CH, 81, CW=128].
+* Overlapping input windows come straight from the padded plane via
+  `pl.Element` block dims (element-granular offsets), so there is NO
+  pre-tiled copy of the input in HBM -- the v1 kernel's XLA window-stack
+  prepass cost 4.7 ms at 2048^2, ~20% of the kernel time.  Window rows
+  ride the MAJOR dim (sublane dim is 1), making each 9x9 tap a
+  major-offset plus a <=8 lane rotate.
+* im2col: 81 tap slices stored into the sublane dim of q [CH, 81, CW=128]
+  (measured: only ~1.2 ms at 2048^2 -- NOT the bottleneck).
 * conv1: batched-over-majors MXU GEMMs contracting the 81 sublanes with
   the [81, 64] kernel -> h1 [CH, CW, 64]; bias, ReLU.
 * conv2: batched [CW, 64] x [64, 32] -> c2 [CH, CW, 32]; bias, ReLU.
-* conv3: swap c2 to channels-in-sublanes [CH, 32, CW+4], FMA the 25
-  (major, lane)-shifted views with per-tap weight columns, then ONE native
-  sublane reduction -> [TH, 1, CW] which is exactly the output block
-  layout; bias, clamp.
-* XLA epilogue re-assembles tiles and drops each tile's 4 junk columns.
+* conv3 rides the MXU too (the v1 kernel's 25 VPU FMAs + sublane reduce
+  cost 7.1 ms at 2048^2): one batched GEMM contracts the 32 channels with
+  all 25 tap weight vectors at once -> G [CH, 25, CW] (taps ordered
+  k=(dx,dy)), then 5 lane-rolls collapse the dx shifts and 5 major-offset
+  adds collapse the dy shifts; bias, clamp.
+* Output blocks are written in the final [gh, th, gw, CW] layout so the
+  XLA epilogue is a reshape + junk-column drop, with no transpose.
 
 Image-border semantics: the reference replicate-pads conv2's OUTPUT before
 conv3 (`libsrcnn.cpp:463-489`), which differs from running conv1/2 over a
@@ -48,7 +51,11 @@ HALO = 6          # 4 (conv1) + 2 (conv3) each side
 BORDER = 2        # output border recomputed with reference-exact semantics
 TW = 124          # valid output columns per tile
 CW = TW + 4       # c2 / GEMM column count (=128, lane-aligned)
-EW = TW + 2 * HALO + 4  # padded window width (140), last-dim-full block
+EW = 384          # window block lane width: Mosaic requires Element lane
+                  # offsets to be 128-aligned, so each block starts at
+                  # floor(j*TW/128)*128 and the kernel lane-rolls away the
+                  # residual shift (<128); live span = shift + 140 <= 267,
+                  # rounded up to a multiple of the 128-lane tile
 
 
 def _round8(x: int) -> int:
@@ -61,7 +68,11 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
     i = pl.program_id(0)
     j = pl.program_id(1)
     ch = th + 4
-    ext = win_ref[0, 0]                           # [RB, 1, EW]
+    ext = win_ref[:]                              # [RB, 1, EW]
+    # undo the 128-alignment of this block's lane offset (see EW note):
+    # one dynamic lane rotate, then all tap slices below stay static
+    shift = j * TW - (j * TW) // 128 * 128
+    ext = pltpu.roll(ext, (EW - shift) % EW, axis=2)
 
     # --- im2col: taps -> sublanes (stored in `dtype`: bf16 mode halves
     # VMEM pressure and feeds the MXU native-width operands) --------------
@@ -108,16 +119,30 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
     c2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
                    c2[:, s_hi:s_hi + 1, :], c2)
 
-    # --- conv3: channels -> sublanes, 25 shifted FMAs, sublane-reduce ----
+    # --- conv3 on the MXU: one batched GEMM contracts the 32 channels
+    # against ALL 25 tap weight vectors -> G [ch, 25, CW] with taps
+    # ordered k = 5*dx + dy; then collapse dx via lane rolls (valid
+    # columns never wrap: x+dx <= 123+4 < 128, wrapped values land only in
+    # the 4 junk columns) and dy via major-offset adds -----------------
     c2t = jnp.swapaxes(c2, 1, 2)                  # [ch, 32, CW]
-    c2t = jnp.pad(c2t, ((0, 0), (0, 0), (0, 4)))  # [ch, 32, CW+4]
-    acc = jnp.zeros((th, 32, CW), jnp.float32)
+    wb = jnp.broadcast_to(w3_ref[:], (ch, 25, 32))
+    g = jax.lax.dot_general(
+        wb, c2t,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )                                             # [ch, 25, CW]
+    q25 = None                                    # [ch, 5, CW]: dy planes
+    for dx in range(5):
+        blk = g[:, 5 * dx:5 * dx + 5, :]
+        # left-rotate by dx == roll by CW-dx (pltpu.roll wants shift >= 0)
+        r = pltpu.roll(blk, CW - dx, axis=2) if dx else blk
+        q25 = r if q25 is None else q25 + r
+    acc = None                                    # [th, 1, CW]
     for dy in range(5):
-        for dx in range(5):
-            k = dy * 5 + dx
-            acc = acc + c2t[dy:dy + th, :, dx:dx + CW] * w3_ref[:, :, k:k + 1]
-    red = jnp.sum(acc, axis=1, keepdims=True)     # [th, 1, CW]
-    out_ref[0, 0] = jnp.clip(red + b3_ref[0], 0.0, 255.0)
+        t = q25[dy:dy + th, dy:dy + 1, :]
+        acc = t if acc is None else acc + t
+    out_ref[0, :, 0] = jnp.clip(acc + b3_ref[0], 0.0, 255.0)
 
 
 @functools.partial(jax.jit,
@@ -143,42 +168,45 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
     gh, gw = -(-h // th), -(-w // TW)
     hp, wp = gh * th, gw * TW
     rb = _round8(th + 2 * HALO)                   # window rows per block
+    # plane must cover the last tile's full [rb, EW] window
+    need_h = (gh - 1) * th + rb
+    need_w = (gw - 1) * TW + EW
 
     if prepadded:
         # alignment/tile padding beyond the existing halo (junk region)
-        yext = jnp.pad(y, ((0, (hp - h) + (rb - th - 2 * HALO) + 8),
-                           (0, (wp - w) + 4 + 8)), mode="edge")
+        yext = jnp.pad(y, ((0, need_h - (h + 2 * HALO)),
+                           (0, need_w - (w + 2 * HALO))), mode="edge")
     else:
         ypad = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
-        yext = jnp.pad(ypad, ((HALO, HALO + (rb - th - 2 * HALO) + 8),
-                              (HALO, HALO + 4 + 8)), mode="edge")
-    # overlapping windows: T [gw, gh, rb, 1, EW]
-    tiles = jnp.stack([
-        jnp.stack([yext[i * th:i * th + rb, j * TW:j * TW + EW]
-                   for i in range(gh)], 0)
-        for j in range(gw)
-    ], 0)[:, :, :, None, :]
+        yext = jnp.pad(ypad, ((HALO, need_h - hp - HALO),
+                              (HALO, need_w - wp - HALO)), mode="edge")
+    # [Hp, 1, Wp]: window rows will ride the block's MAJOR dim; overlapping
+    # [rb, 1, EW] windows are sliced straight from this plane by the
+    # pl.Element block dims -- no pre-tiled copy in HBM.
+    yext = yext[:, None, :]
 
     # last-tile clamp thresholds in c2-local coordinates (+2 ring offset)
     a_hi = (h - 1) - (gh - 1) * th + 2
     s_hi = (w - 1) - (gw - 1) * TW + 2
-    out5 = pl.pallas_call(
+    out4 = pl.pallas_call(
         functools.partial(_kernel, th=th, a_hi=a_hi, s_hi=s_hi,
                           gh=gh, gw=gw, precision=precision, dtype=dtype),
-        out_shape=jax.ShapeDtypeStruct((gh, gw, th, 1, CW), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, CW), jnp.float32),
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w1 [81,64]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b1 [64]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # w2 [64,32]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b2 [32]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # w3 [1,32,25]
+            pl.BlockSpec(memory_space=pltpu.VMEM),      # w3 [25,32]
             pl.BlockSpec(memory_space=pltpu.VMEM),      # b3 [1]
             pl.BlockSpec(memory_space=pltpu.SMEM),      # edge flags [4]
-            pl.BlockSpec((1, 1, rb, 1, EW), lambda i, j: (j, i, 0, 0, 0),
+            pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(EW)),
+                         lambda i, j: (i * th, 0, (j * TW) // 128 * 128),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, th, 1, CW), lambda i, j: (i, j, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, th, 1, 1, CW),
+                               lambda i, j: (i, 0, j, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), dtype)],
         interpret=interpret,
@@ -188,10 +216,11 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
             transcendentals=0,
         ),
     )(w1.astype(dtype), b1, w2.astype(dtype), b2, w3, b3,
-      jnp.asarray(edge_flags, jnp.int32), tiles)
+      jnp.asarray(edge_flags, jnp.int32), yext)
 
-    # re-assemble: [gh, gw, th, 1, CW] -> [hp, gw*TW] (drop 4 junk cols/tile)
-    out = out5[:, :, :, 0, :TW].transpose(0, 2, 1, 3).reshape(hp, gw * TW)
+    # re-assemble: [gh, th, gw, 1, CW] -> [hp, gw*TW]; pure reshape +
+    # junk-column slice, no transpose (blocks sit in final row order)
+    out = out4.reshape(hp, gw, CW)[:, :, :TW].reshape(hp, gw * TW)
     return out[:h, :w]
 
 
@@ -204,7 +233,7 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if tile_h is None:
-        tile_h = 48  # largest tile fitting VMEM (f32 GEMM outputs dominate)
+        tile_h = 40  # largest tile fitting VMEM (f32 GEMM outputs dominate)
     squeeze = y.ndim == 2
     if squeeze:
         y = y[None]
@@ -213,8 +242,9 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
     b1 = params["b1"].astype(jnp.float32)
     w2 = params["w2"].reshape(64, 32).astype(jnp.float32)
     b2 = params["b2"].astype(jnp.float32)
-    # [1, 32, 25]: per-tap [1,32,1] columns broadcast over majors and lanes
-    w3 = params["w3"][:, :, :, 0].reshape(25, 32).transpose(1, 0)[None]
+    # [25, 32] tap-major weights, taps ordered k = 5*dx + dy to match the
+    # kernel's dx-grouped roll reduction
+    w3 = params["w3"][:, :, :, 0].transpose(1, 0, 2).reshape(25, 32)
     w3 = w3.astype(jnp.float32)
     b3 = params["b3"].reshape(1).astype(jnp.float32)
 

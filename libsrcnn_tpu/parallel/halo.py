@@ -111,7 +111,8 @@ def _tile_forward_pallas(params: dict, y: jnp.ndarray, row_axis: str,
     b1 = params["b1"].astype(jnp.float32)
     w2 = params["w2"].reshape(64, 32).astype(jnp.float32)
     b2 = params["b2"].astype(jnp.float32)
-    w3 = params["w3"][:, :, :, 0].reshape(25, 32).transpose(1, 0)[None]
+    # [25, 32] tap-major, taps ordered k = 5*dx + dy (fused_conv layout)
+    w3 = params["w3"][:, :, :, 0].transpose(1, 0, 2).reshape(25, 32)
     b3 = params["b3"].reshape(1).astype(jnp.float32)
     return fused_conv._fused(
         ext, w1, b1, w2, b2, w3.astype(jnp.float32), b3, flags,
@@ -123,7 +124,7 @@ def _tile_forward_pallas(params: dict, y: jnp.ndarray, row_axis: str,
 def _run(params, y, mesh: Mesh, use_pallas: bool, interpret: bool):
     spec = P("row", "col")
     if use_pallas:
-        tile_h = min(48, y.shape[0] // mesh.shape["row"])
+        tile_h = min(40, y.shape[0] // mesh.shape["row"])
         body = functools.partial(_tile_forward_pallas, row_axis="row",
                                  col_axis="col", tile_h=tile_h,
                                  interpret=interpret)

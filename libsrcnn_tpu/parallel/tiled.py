@@ -110,7 +110,7 @@ def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
         if use_pallas:
             y_sr = halo_mod._tile_forward_pallas(
                 params, y_r, "row", "col",
-                tile_h=min(48, y_r.shape[0]), interpret=interpret)
+                tile_h=min(40, y_r.shape[0]), interpret=interpret)
         else:
             y_sr = halo_mod._tile_forward(params, y_r, "row", "col")
 
