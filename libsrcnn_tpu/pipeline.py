@@ -50,11 +50,11 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
         from .kernels import fused_conv
 
         y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
-        # bfloat16 compute: single-pass MXU matmuls (~1.5x faster,
-        # SSIM >= 0.999 vs exact); float32 forces the multi-pass exact
-        # algorithm matching the reference.  (Storing operands as bf16 was
-        # measured SLOWER: the f32 GEMM outputs still dominate VMEM and the
-        # extra casts cost more than the narrower reads save.)
+        # float32 forces the kernel's multi-pass exact-f32 GEMMs, matching
+        # the reference; bfloat16 selects the split-bf16x2 throughput mode
+        # (activations split hi/lo into two native MXU passes, bf16
+        # weights) -- measured both faster AND more accurate than naive
+        # single-pass bf16 matmuls (see kernels/fused_conv._dot).
         prec = (jax.lax.Precision.HIGHEST if compute_dtype == "float32"
                 else jax.lax.Precision.DEFAULT)
         y_sr = fused_conv.forward_y(params, y_r, precision=prec)
