@@ -58,8 +58,21 @@ EW = 384          # window block lane width: Mosaic requires Element lane
                   # rounded up to a multiple of the 128-lane tile
 
 
+DEFAULT_TH = 40   # largest tile height fitting VMEM (f32 GEMM buffers)
+
+
 def _round8(x: int) -> int:
     return (x + 7) // 8 * 8
+
+
+def padded_geometry(h: int, w: int, th: int = DEFAULT_TH) -> tuple[int, int]:
+    """The [need_h, need_w] plane size the kernel reads for an [h, w]
+    output: every tile's full [rb, EW] Element window must be in-bounds.
+    Used by the pipeline to have the resize gather emit the fully padded
+    plane directly (``pad_mode="full"``)."""
+    gh, gw = -(-h // th), -(-w // TW)
+    rb = _round8(th + 2 * HALO)
+    return (gh - 1) * th + rb, (gw - 1) * TW + EW
 
 
 def _dot(x, w, dims, precision):
@@ -174,18 +187,27 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("th", "interpret", "precision",
-                                    "prepadded"))
+                                    "pad_mode", "full_shape"))
 def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
-           interpret: bool, precision=None, prepadded: bool = False):
+           interpret: bool, precision=None, pad_mode: str = "none",
+           full_shape: tuple | None = None):
     """Run the fused kernel on one plane.
 
-    When ``prepadded`` is False, ``y`` is the [h, w] plane and the 6 px
-    replicate halo is added here.  When True, ``y`` is [h+12, w+12] with the
-    halo already present (the multi-chip path supplies exchanged neighbor
-    pixels); ``edge_flags`` [4] then says which of its borders are true
-    image edges (top, bottom, left, right).
+    ``pad_mode``:
+      * ``"none"``: ``y`` is the [h, w] plane; the 6 px replicate halo and
+        the tile-alignment junk are padded here (one extra plane copy).
+      * ``"halo"``: ``y`` is [h+12, w+12] with the halo already present
+        (the multi-chip path supplies exchanged neighbor pixels);
+        ``edge_flags`` [4] then says which of its borders are true image
+        edges (top, bottom, left, right).  Alignment junk is padded here.
+      * ``"full"``: ``y`` is already the full [need_h, need_w] plane from
+        :func:`padded_geometry` (the pipeline's resize gather emits it
+        directly); NO padding pass runs at all.  ``full_shape`` gives the
+        real (h, w).
     """
-    if prepadded:
+    if pad_mode == "full":
+        h, w = full_shape
+    elif pad_mode == "halo":
         h, w = y.shape[0] - 2 * HALO, y.shape[1] - 2 * HALO
     else:
         h, w = y.shape
@@ -198,7 +220,10 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
     need_h = (gh - 1) * th + rb
     need_w = (gw - 1) * TW + EW
 
-    if prepadded:
+    if pad_mode == "full":
+        assert y.shape == (need_h, need_w), (y.shape, need_h, need_w)
+        yext = y
+    elif pad_mode == "halo":
         # alignment/tile padding beyond the existing halo (junk region)
         yext = jnp.pad(y, ((0, need_h - (h + 2 * HALO)),
                            (0, need_w - (w + 2 * HALO))), mode="edge")
@@ -252,17 +277,23 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
 
 def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
               interpret: bool | None = None,
-              precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+              precision=jax.lax.Precision.HIGHEST,
+              full_pad_shape: tuple | None = None) -> jnp.ndarray:
     """Drop-in fused replacement for :func:`libsrcnn_tpu.models.srcnn.forward_y`
     (clamped inference path).  Accepts [H, W] or [N, H, W].
 
     ``precision=HIGHEST`` (default) is the exact path; any other value
     selects the split-bf16x2 throughput mode (see :func:`_dot`).
+
+    ``full_pad_shape=(h, w)`` declares that ``y`` is already the fully
+    padded [need_h, need_w] plane from :func:`padded_geometry` (halo +
+    alignment junk emitted by the resize gather) for a real [h, w]
+    output -- the kernel then runs zero padding passes.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if tile_h is None:
-        tile_h = 40  # largest tile fitting VMEM (f32 GEMM outputs dominate)
+        tile_h = DEFAULT_TH
     squeeze = y.ndim == 2
     if squeeze:
         y = y[None]
@@ -277,10 +308,12 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
     w3 = w3.astype(jnp.float32)
     b3 = params["b3"].reshape(1).astype(jnp.float32)
 
+    pad_mode = "none" if full_pad_shape is None else "full"
     outs = []
     for k in range(y.shape[0]):
         plane = y[k].astype(jnp.float32)
         outs.append(_fused(plane, w1, b1, w2, b2, w3, b3, th=tile_h,
-                           interpret=interpret, precision=precision))
+                           interpret=interpret, precision=precision,
+                           pad_mode=pad_mode, full_shape=full_pad_shape))
     out = jnp.stack(outs)
     return out[0] if squeeze else out

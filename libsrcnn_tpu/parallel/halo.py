@@ -116,7 +116,7 @@ def _tile_forward_pallas(params: dict, y: jnp.ndarray, row_axis: str,
     b3 = params["b3"].reshape(1).astype(jnp.float32)
     return fused_conv._fused(
         ext, w1, b1, w2, b2, w3.astype(jnp.float32), b3, flags,
-        th=tile_h, interpret=interpret, prepadded=True,
+        th=tile_h, interpret=interpret, pad_mode="halo",
         precision=jax.lax.Precision.HIGHEST)
 
 

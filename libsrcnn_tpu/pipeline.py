@@ -49,7 +49,12 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
         import jax
         from .kernels import fused_conv
 
-        y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
+        # The resize gather emits the kernel's fully padded plane (6 px
+        # replicate halo + tile-alignment junk) directly, so the kernel
+        # runs zero padding passes over HBM (see resize_plane_padded).
+        need_h, need_w = fused_conv.padded_geometry(dst_h, dst_w)
+        y_r = resize.resize_plane_padded(planes[0], dst_h, dst_w, y_filter,
+                                         fused_conv.HALO, need_h, need_w)
         # float32 forces the kernel's multi-pass exact-f32 GEMMs, matching
         # the reference; bfloat16 selects the split-bf16x2 throughput mode
         # (activations split hi/lo into two native MXU passes, bf16
@@ -57,7 +62,8 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
         # single-pass bf16 matmuls (see kernels/fused_conv._dot).
         prec = (jax.lax.Precision.HIGHEST if compute_dtype == "float32"
                 else jax.lax.Precision.DEFAULT)
-        y_sr = fused_conv.forward_y(params, y_r, precision=prec)
+        y_sr = fused_conv.forward_y(params, y_r, precision=prec,
+                                    full_pad_shape=(dst_h, dst_w))
     else:
         y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
         y_sr = srcnn.forward_y(params, y_r)

@@ -6,7 +6,7 @@ import pytest
 import jax.numpy as jnp
 
 from libsrcnn_tpu.config import FilterType
-from libsrcnn_tpu.ops.resize import resize_plane, scaled_size
+from libsrcnn_tpu.ops.resize import resize_plane, resize_plane_padded, scaled_size
 import oracle
 
 
@@ -48,3 +48,21 @@ def test_constant_plane_preserved():
     p = jnp.full((16, 16), 127.0, jnp.float32)
     out = np.asarray(resize_plane(p, 32, 32, FilterType.LANCZOS3))
     np.testing.assert_allclose(out, 127.0, atol=1e-4)
+
+
+@pytest.mark.parametrize("ft", [FilterType.BICUBIC, FilterType.NEAREST,
+                                FilterType.LANCZOS3])
+@pytest.mark.parametrize("mult", [2.0, 0.5, 1.0])
+def test_padded_resize_is_edge_pad_of_plain(plane, ft, mult):
+    """resize_plane_padded must be bit-identical to jnp.pad(resize_plane,
+    mode="edge") -- it feeds the fused kernel's zero-padding-pass path, so
+    any deviation breaks the golden gate."""
+    dst_w, dst_h = scaled_size(plane.shape[1], plane.shape[0], mult)
+    pad = 6
+    out_h, out_w = dst_h + 17, dst_w + 23  # asymmetric alignment junk
+    got = np.asarray(resize_plane_padded(
+        jnp.asarray(plane), dst_h, dst_w, ft, pad, out_h, out_w))
+    base = np.asarray(resize_plane(jnp.asarray(plane), dst_h, dst_w, ft))
+    want = np.pad(base, ((pad, out_h - pad - dst_h),
+                         (pad, out_w - pad - dst_w)), mode="edge")
+    np.testing.assert_array_equal(got, want)
