@@ -74,11 +74,10 @@ def upscale(
     """
     img = _as_u8_image(image)
     if params is None:
-        if config.model == "fsrcnn":
-            from .models import fsrcnn
-
+        if config.model in pipeline.LR_FAMILIES:
+            mod = pipeline._lr_family(config.model)
             # step-scale chains x2 passes, so x2 weights serve any factor
-            fparams, spec = fsrcnn.load_params(
+            fparams, spec = mod.load_params(
                 scale=2 if config.step_scale else int(scale))
             params = dict(fparams, __spec__=spec)
         else:

@@ -78,7 +78,7 @@ def parse_args(argv: list[str]):
             use_pallas = True
         elif arg.startswith("--model="):
             model = arg[8:]
-            if model not in ("srcnn", "fsrcnn"):
+            if model not in ("srcnn", "fsrcnn", "espcn"):
                 raise SystemExit(f"unknown model: {model}")
         elif arg == "--bf16":
             dtype = "bfloat16"  # throughput mode (~1.5x, SSIM>=0.999)
@@ -99,7 +99,7 @@ def parse_args(argv: list[str]):
         raise SystemExit(
             "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
             "--scale=F --filter=0..4|name --step --pallas|--no-pallas "
-            "--model=srcnn|fsrcnn --bf16 --repeat=N --debug-dir=DIR"
+            "--model=srcnn|fsrcnn|espcn --bf16 --repeat=N --debug-dir=DIR"
         )
     if file_dst is None:
         file_dst = _auto_name(file_src, "resized")

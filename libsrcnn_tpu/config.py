@@ -55,10 +55,11 @@ class SRCNNConfig:
         XLA elsewhere.
       model: which model family upscales the Y channel.  ``"srcnn"``
         (default) is the reference's 9-1-5 stack on the pre-interpolated
-        plane; ``"fsrcnn"`` runs the FSRCNN family (features at LOW
-        resolution, learned deconv upscale -- beyond-reference, shipped
-        x2 weights trained by tools/train_fsrcnn.py).  FSRCNN requires
-        the scale to equal the trained model's integer factor.
+        plane.  ``"fsrcnn"`` (features at LOW resolution, learned deconv
+        upscale) and ``"espcn"`` (LOW-resolution stack + sub-pixel
+        convolution / pixel shuffle) are beyond-reference families with
+        shipped x2 weights (tools/train_fsrcnn.py / train_espcn.py); both
+        require the scale to equal the trained model's integer factor.
     """
 
     filter: FilterType = FilterType.BICUBIC

@@ -48,6 +48,10 @@ class FSRCNNSpec:
         return f"fsrcnn-x{self.scale}-d{self.d}s{self.s}m{self.m}"
 
 
+def default_spec() -> FSRCNNSpec:
+    return FSRCNNSpec()
+
+
 def init_params(key: jax.Array, spec: FSRCNNSpec = FSRCNNSpec(),
                 dtype=jnp.float32) -> dict:
     ks = jax.random.split(key, 4 + spec.m)

@@ -20,6 +20,18 @@ from .config import FilterType, SRCNNConfig, chroma_filter
 from .models import srcnn
 from .ops import color, resize
 
+#: model families that run at LOW resolution with a learned upscale head
+#: (vs SRCNN's interpolate-first).  Each module exposes the same protocol:
+#: ``load_params(scale) -> (params, spec)``, ``forward_lr(params, y, spec)``,
+#: ``default_spec()``.
+LR_FAMILIES = ("fsrcnn", "espcn")
+
+
+def _lr_family(name: str):
+    import importlib
+
+    return importlib.import_module(f".models.{name}", __package__)
+
 
 def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
                  compute_dtype="float32", model="srcnn", fsrcnn_spec=None):
@@ -41,10 +53,9 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
         resize.resize_plane(planes[c], dst_h, dst_w, c_filter) for c in range(1, d)
     ]
 
-    if model == "fsrcnn":
-        from .models import fsrcnn
-
-        y_sr = fsrcnn.forward_lr(params, planes[0], fsrcnn_spec)
+    if model in LR_FAMILIES:
+        mod = _lr_family(model)
+        y_sr = mod.forward_lr(params, planes[0], fsrcnn_spec)
     elif use_pallas:
         import jax
         from .kernels import fused_conv
@@ -144,14 +155,13 @@ def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
     if dst_w <= 0 or dst_h <= 0:
         raise ValueError(f"bad scale {multiply} for {w}x{h}")
     spec = None
-    if cfg.model == "fsrcnn":
-        from .models import fsrcnn
-
-        spec = params.get("__spec__") or fsrcnn.FSRCNNSpec()
+    if cfg.model in LR_FAMILIES:
+        mod = _lr_family(cfg.model)
+        spec = params.get("__spec__") or mod.default_spec()
         params = {k: v for k, v in params.items() if k != "__spec__"}
         if (dst_h, dst_w) != (h * spec.scale, w * spec.scale):
             raise ValueError(
-                f"fsrcnn x{spec.scale} weights require scale "
+                f"{cfg.model} x{spec.scale} weights require scale "
                 f"{spec.scale} exactly; got {multiply} "
                 f"({w}x{h} -> {dst_w}x{dst_h})")
     elif cfg.model != "srcnn":
