@@ -1,21 +1,25 @@
 #!/usr/bin/env python3
-"""Attribute fused-kernel time to its internal phases (real-TPU tool).
+"""Attribute fused-kernel (v2) time to its internal phases (real-TPU tool).
 
 The fused Pallas kernel (kernels/fused_conv.py) is one opaque op in any
-profiler trace, so this tool times ABLATED variants -- same tiling, same
-pipeline structure, pieces replaced by cheap stand-ins -- and reports the
-deltas:
+profiler trace, so this tool times ABLATED variants -- same Element-window
+tiling, same pipeline structure, later pieces replaced by cheap stand-ins
+-- and reports the cumulative deltas:
 
-  tiles       XLA overlapping-window construction alone
-  floor       pallas pipeline floor: 1 im2col store, no GEMMs, cheap out
-  +im2col     all 81 tap stores, no GEMMs           -> im2col store cost
-  +gemms      im2col + conv1/conv2 MXU GEMMs        -> GEMM cost
-  +border     ... + border masking                  -> select cost
-  full        the real kernel                       -> conv3 FMA cost
+  dma        window-block reads + output writes, zeroed compute
+  +roll      the dynamic lane rotate undoing the 128-lane block alignment
+  +im2col    all 81 tap stores into the [ch, 81, 128] scratch
+  +conv1     [ch*128, 81] x [81, 64] HIGHEST GEMM + bias/relu
+  +conv2     [ch*128, 64] x [64, 32] HIGHEST GEMM + bias/relu
+  full       the production kernel (adds conv3 tap-GEMM + rolls + border
+             clamps + epilogue)
 
-Ablated kernels compute WRONG image results by design; only `full` is the
-production path.  Timings use the stream-dispatch + final-sync discipline
-(see bench.py) because the axon relay's block_until_ready returns early.
+Ablated kernels compute WRONG image results by design; `full` is
+`fused_conv.forward_y` itself.  Timings use the stream-dispatch +
+final-sync discipline (see bench.py): the axon relay's
+block_until_ready can return early.
+
+Round-2 measured numbers live in PERF.md.
 """
 
 from __future__ import annotations
@@ -31,124 +35,77 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from libsrcnn_tpu.kernels import fused_conv as fc
 
 
-def _kernel_ablate(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
-                   win_ref, out_ref, q_scr, *, th, a_hi, s_hi, gh, gw,
-                   precision, dtype, mode):
-    """fused_conv._kernel with later phases replaced by cheap stand-ins."""
-    import jax
-    import jax.numpy as jnp
-
-    i = fc.pl.program_id(0)
-    j = fc.pl.program_id(1)
-    ch = th + 4
-    CW = fc.CW
-    ext = win_ref[0, 0]
-
-    n_taps = 81 if mode != "floor" else 1
-    for dy in range(9):
-        for dx in range(9):
-            k = dy * 9 + dx
-            if k >= n_taps:
-                break
-            q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW].astype(dtype)
-        if 9 * dy >= n_taps:
-            break
-    q = q_scr[:]
-
-    if mode in ("floor", "im2col"):
-        # stand-in output with no MXU work: one sublane of q
-        out_ref[0, 0] = q[2:2 + th, 40:41, :].astype(jnp.float32)
-        return
-
-    h1 = jax.lax.dot_general(q, w1_ref[:],
-                             dimension_numbers=(((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=precision)
-    h1 = jnp.maximum(h1 + b1_ref[:], 0.0).astype(dtype)
-    h2 = jax.lax.dot_general(h1, w2_ref[:],
-                             dimension_numbers=(((2,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=precision)
-    c2 = jnp.maximum(h2 + b2_ref[:], 0.0)
-
-    if mode == "gemms":
-        out_ref[0, 0] = c2[2:2 + th, :, 0:1].swapaxes(1, 2)
-        return
-
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
-    c2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2), c2[2:3], c2)
-    c2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
-                   c2[a_hi:a_hi + 1], c2)
-    c2 = jnp.where((flags_ref[2] == 1) & (j == 0) & (col_idx < 2),
-                   c2[:, 2:3, :], c2)
-    c2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
-                   c2[:, s_hi:s_hi + 1, :], c2)
-
-    if mode == "border":
-        out_ref[0, 0] = c2[2:2 + th, :, 0:1].swapaxes(1, 2)
-        return
-
-    c2t = fc.jnp.swapaxes(c2, 1, 2)
-    c2t = fc.jnp.pad(c2t, ((0, 0), (0, 0), (0, 4)))
-    acc = fc.jnp.zeros((th, 32, CW), fc.jnp.float32)
-    for dy in range(5):
-        for dx in range(5):
-            k = dy * 5 + dx
-            acc = acc + c2t[dy:dy + th, :, dx:dx + CW] * w3_ref[:, :, k:k + 1]
-    red = fc.jnp.sum(acc, axis=1, keepdims=True)
-    out_ref[0, 0] = fc.jnp.clip(red + b3_ref[0], 0.0, 255.0)
-
-
-def build_ablated(mode: str):
-    """Return a jitted y-plane runner for one ablation mode (or 'tiles')."""
+def build_ablated(stage: str, th: int = fc.DEFAULT_TH):
+    """Jitted y-plane runner with phases after ``stage`` stubbed out."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     HALO, TW, CW, EW = fc.HALO, fc.TW, fc.CW, fc.EW
-    th = 48
     precision = jax.lax.Precision.HIGHEST
-    dtype = jnp.float32
 
-    @functools.partial(jax.jit, static_argnames=("only_tiles",))
-    def run(y, w1, b1, w2, b2, w3, b3, only_tiles=False):
+    def kern(w1r, b1r, w2r, b2r, w3r, b3r, fl, win, out, q_scr):
+        j = pl.program_id(1)
+        ch = th + 4
+        ext = win[:]                               # [rb, 1, EW]
+        if stage == "dma":
+            out[0, :, 0] = ext[0:th, :, 0:CW] * 0.0
+            return
+        shift = j * TW - (j * TW) // 128 * 128
+        ext = pltpu.roll(ext, (EW - shift) % EW, axis=2)
+        if stage == "roll":
+            out[0, :, 0] = ext[0:th, :, 0:CW]
+            return
+        for dy in range(9):
+            for dx in range(9):
+                k = dy * 9 + dx
+                q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW]
+        q = q_scr[:]
+        if stage == "im2col":
+            out[0, :, 0] = q[0:th, 0:1, :]
+            return
+        h1 = jax.lax.dot_general(q, w1r[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+        h1 = jnp.maximum(h1 + b1r[:], 0.0)
+        if stage == "conv1":
+            out[0, :, 0] = h1[0:th, :, 0:1].swapaxes(1, 2)
+            return
+        h2 = jax.lax.dot_general(h1, w2r[:], (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=precision)
+        c2 = jnp.maximum(h2 + b2r[:], 0.0)
+        out[0, :, 0] = c2[0:th, :, 0:1].swapaxes(1, 2)   # stage == "conv2"
+
+    @jax.jit
+    def run(y, w1, b1, w2, b2, w3, b3):
         h, w = y.shape
         gh, gw = -(-h // th), -(-w // TW)
         hp, wp = gh * th, gw * TW
         rb = fc._round8(th + 2 * HALO)
+        need_h = (gh - 1) * th + rb
+        need_w = (gw - 1) * TW + EW
         ypad = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
-        yext = jnp.pad(ypad, ((HALO, HALO + (rb - th - 2 * HALO) + 8),
-                              (HALO, HALO + 4 + 8)), mode="edge")
-        tiles = jnp.stack([
-            jnp.stack([yext[i * th:i * th + rb, j * TW:j * TW + EW]
-                       for i in range(gh)], 0)
-            for j in range(gw)
-        ], 0)[:, :, :, None, :]
-        if only_tiles:
-            return tiles
-
-        a_hi = (h - 1) - (gh - 1) * th + 2
-        s_hi = (w - 1) - (gw - 1) * TW + 2
-        out5 = pl.pallas_call(
-            functools.partial(_kernel_ablate, th=th, a_hi=a_hi, s_hi=s_hi,
-                              gh=gh, gw=gw, precision=precision, dtype=dtype,
-                              mode=mode),
-            out_shape=jax.ShapeDtypeStruct((gh, gw, th, 1, CW), jnp.float32),
+        yext = jnp.pad(ypad, ((HALO, need_h - hp - HALO),
+                              (HALO, need_w - wp - HALO)),
+                       mode="edge")[:, None, :]
+        out4 = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, CW), jnp.float32),
             grid=(gh, gw),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6 + [
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 1, rb, 1, EW), lambda i, j: (j, i, 0, 0, 0),
+                pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(EW)),
+                             lambda i, j: (i * th, 0, (j * TW) // 128 * 128),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 1, th, 1, CW),
-                                   lambda i, j: (i, j, 0, 0, 0),
+            out_specs=pl.BlockSpec((1, th, 1, 1, CW),
+                                   lambda i, j: (i, 0, j, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), dtype)],
-        )(w1, b1, w2, b2, w3, b3, jnp.ones((4,), jnp.int32), tiles)
-        out = out5[:, :, :, 0, :TW].transpose(0, 2, 1, 3).reshape(hp, gw * TW)
-        return out[:h, :w]
+            scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), jnp.float32)],
+        )(w1, b1, w2, b2, w3, b3, jnp.ones((4,), jnp.int32), yext)
+        return out4.reshape(hp, gw, CW)[:, :, :TW].reshape(hp, gw * TW)[:h, :w]
 
     return run
 
@@ -164,9 +121,11 @@ def main(size=2048):
     b1 = np.asarray(p["b1"]).astype(np.float32)
     w2 = np.asarray(p["w2"]).reshape(64, 32).astype(np.float32)
     b2 = np.asarray(p["b2"]).astype(np.float32)
-    w3 = np.asarray(p["w3"])[:, :, :, 0].reshape(25, 32).T[None].astype(np.float32)
+    # [25, 32] tap-major, k = 5*dx + dy (fused_conv layout)
+    w3 = np.asarray(p["w3"])[:, :, :, 0].transpose(1, 0, 2).reshape(25, 32)
     b3 = np.asarray(p["b3"]).reshape(1).astype(np.float32)
-    args = [jax.device_put(jnp.asarray(a)) for a in (w1, b1, w2, b2, w3, b3)]
+    args = [jax.device_put(jnp.asarray(a))
+            for a in (w1, b1, w2, b2, w3.astype(np.float32), b3)]
 
     rng = np.random.default_rng(0)
     y = jax.device_put(jnp.asarray(
@@ -183,26 +142,21 @@ def main(size=2048):
         return (time.perf_counter() - t0) / n * 1000.0
 
     mp = size * size / 1e6
-    print(f"fused-kernel ablation @ {size}x{size} Y plane ({mp:.2f} MP), "
+    print(f"fused-kernel v2 ablation @ {size}x{size} Y plane ({mp:.2f} MP), "
           f"backend={jax.default_backend()}")
-    results = {}
-    run_tiles = build_ablated("floor")
-    results["tiles"] = stream_time(
-        lambda: run_tiles(y, *args, only_tiles=True))
-    for mode in ("floor", "im2col", "gemms", "border", "full"):
-        run = build_ablated(mode)
-        results[mode] = stream_time(lambda: run(y, *args))
     prev = None
-    for name, ms in results.items():
-        delta = "" if prev is None or name == "floor" else f"  (+{ms - prev:6.2f})"
-        print(f"  {name:8s} {ms:8.2f} ms{delta}  {mp / (ms / 1e3):7.1f} MP/s")
-        if name != "tiles":
-            prev = ms
-    # reference production numbers
+    for stage in ("dma", "roll", "im2col", "conv1", "conv2"):
+        run = build_ablated(stage)
+        ms = stream_time(lambda: run(y, *args))
+        delta = "" if prev is None else f"  (+{ms - prev:6.2f})"
+        print(f"  {stage:8s} {ms:8.2f} ms{delta}  {mp / (ms / 1e3):7.1f} MP/s",
+              flush=True)
+        prev = ms
     real = stream_time(lambda: fc.forward_y(p, y))
-    print(f"  prod fused_conv.forward_y: {real:8.2f} ms "
-          f"({mp / (real / 1e3):7.1f} MP/s)")
-    return results
+    print(f"  full     {real:8.2f} ms  (+{real - prev:6.2f})  "
+          f"{mp / (real / 1e3):7.1f} MP/s   <- production forward_y "
+          f"(conv3 + border + epilogue)")
+    return real
 
 
 if __name__ == "__main__":

@@ -74,14 +74,7 @@ def upscale(
     """
     img = _as_u8_image(image)
     if params is None:
-        if config.model in pipeline.LR_FAMILIES:
-            mod = pipeline._lr_family(config.model)
-            # step-scale chains x2 passes, so x2 weights serve any factor
-            fparams, spec = mod.load_params(
-                scale=2 if config.step_scale else int(scale))
-            params = dict(fparams, __spec__=spec)
-        else:
-            params = srcnn.load_params(dtype=config.compute_dtype)
+        params = pipeline.load_model_params(config, scale)
     want_conv = config.emit_conv_map if return_conv_map is None else return_conv_map
 
     h, w, _ = img.shape

@@ -30,10 +30,12 @@ from .. import pipeline
 
 
 @functools.lru_cache(maxsize=64)
-def _batch_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh):
+def _batch_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh,
+              model="srcnn", spec=None):
     body = functools.partial(
         pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
         filter_type=filter_type, use_pallas=use_pallas,
+        model=model, fsrcnn_spec=spec,
     )
     vbody = jax.vmap(body, in_axes=(0, None))
     # shard_map, not GSPMD annotations: each device runs the full per-frame
@@ -60,8 +62,11 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
     if n % dp:
         raise ValueError(f"batch {n} not divisible by data axis {dp}")
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
+    params, spec = pipeline.prepare_model_params(cfg, params, h, w,
+                                                 dst_h, dst_w, multiply)
     fn = _batch_fn(h, w, d, dst_h, dst_w, int(cfg.filter),
-                   pipeline.resolve_pallas(cfg.use_pallas), mesh)
+                   pipeline.resolve_pallas(cfg.use_pallas), mesh,
+                   cfg.model, spec)
     return fn(images, params)
 
 

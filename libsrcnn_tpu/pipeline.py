@@ -33,6 +33,38 @@ def _lr_family(name: str):
     return importlib.import_module(f".models.{name}", __package__)
 
 
+def load_model_params(cfg: "SRCNNConfig", scale: float = 2.0) -> dict:
+    """Default parameters for ``cfg.model``: the pre-trained SRCNN 9-1-5
+    weights, or an LR family's shipped checkpoint (with its spec attached
+    under ``"__spec__"``).  Step-scale chains x2 passes, so x2 weights
+    serve any factor there."""
+    if cfg.model in LR_FAMILIES:
+        mod = _lr_family(cfg.model)
+        fparams, spec = mod.load_params(
+            scale=2 if cfg.step_scale else int(scale))
+        return dict(fparams, __spec__=spec)
+    return srcnn.load_params(dtype=cfg.compute_dtype)
+
+
+def prepare_model_params(cfg: "SRCNNConfig", params: dict, h: int, w: int,
+                         dst_h: int, dst_w: int, multiply):
+    """Validate cfg.model against the geometry and split off the LR-family
+    spec: returns (params-without-spec, spec-or-None)."""
+    if cfg.model in LR_FAMILIES:
+        mod = _lr_family(cfg.model)
+        spec = params.get("__spec__") or mod.default_spec()
+        params = {k: v for k, v in params.items() if k != "__spec__"}
+        if (dst_h, dst_w) != (h * spec.scale, w * spec.scale):
+            raise ValueError(
+                f"{cfg.model} x{spec.scale} weights require scale "
+                f"{spec.scale} exactly; got {multiply} "
+                f"({w}x{h} -> {dst_w}x{dst_h})")
+        return params, spec
+    if cfg.model != "srcnn":
+        raise ValueError(f"unknown model {cfg.model!r}")
+    return params, None
+
+
 def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
                  compute_dtype="float32", model="srcnn", fsrcnn_spec=None):
     """Trace-time builder: [H,W,D] u8 -> ([dst_h,dst_w,D] u8, [dst_h,dst_w] u8).
@@ -154,18 +186,8 @@ def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
     if dst_w <= 0 or dst_h <= 0:
         raise ValueError(f"bad scale {multiply} for {w}x{h}")
-    spec = None
-    if cfg.model in LR_FAMILIES:
-        mod = _lr_family(cfg.model)
-        spec = params.get("__spec__") or mod.default_spec()
-        params = {k: v for k, v in params.items() if k != "__spec__"}
-        if (dst_h, dst_w) != (h * spec.scale, w * spec.scale):
-            raise ValueError(
-                f"{cfg.model} x{spec.scale} weights require scale "
-                f"{spec.scale} exactly; got {multiply} "
-                f"({w}x{h} -> {dst_w}x{dst_h})")
-    elif cfg.model != "srcnn":
-        raise ValueError(f"unknown model {cfg.model!r}")
+    params, spec = prepare_model_params(cfg, params, h, w, dst_h, dst_w,
+                                        multiply)
     fn = compiled_pass(h, w, d, dst_h, dst_w, int(cfg.filter),
                        resolve_pallas(cfg.use_pallas), cfg.compute_dtype,
                        cfg.model, spec)

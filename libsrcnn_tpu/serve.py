@@ -32,7 +32,7 @@ def upscale_frames(frames: np.ndarray, scale: float = 2.0,
     """Upscale a [N, H, W, D] u8 clip; with ``mesh`` the batch is sharded
     over the ``data`` axis (see parallel/sharding.upscale_batch)."""
     if params is None:
-        params = srcnn.load_params(dtype=config.compute_dtype)
+        params = pipeline.load_model_params(config, scale)
     if mesh is not None:
         from .parallel import sharding
 
@@ -50,17 +50,20 @@ def _batch_pass(frames, params, scale: float, config: SRCNNConfig):
 
     n, h, w, d = frames.shape
     dst_w, dst_h = _resize.scaled_size(w, h, scale)
+    params, spec = pipeline.prepare_model_params(config, params, h, w,
+                                                 dst_h, dst_w, scale)
     fn = _compiled_batch(h, w, d, dst_h, dst_w, int(config.filter),
                          pipeline.resolve_pallas(config.use_pallas),
-                         config.compute_dtype)
+                         config.compute_dtype, config.model, spec)
     return fn(frames, params)
 
 
 @functools.lru_cache(maxsize=32)
-def _compiled_batch(h, w, d, dst_h, dst_w, filter_type, use_pallas, dtype):
+def _compiled_batch(h, w, d, dst_h, dst_w, filter_type, use_pallas, dtype,
+                    model="srcnn", spec=None):
     body = functools.partial(pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
                       filter_type=filter_type, use_pallas=use_pallas,
-                      compute_dtype=dtype)
+                      compute_dtype=dtype, model=model, fsrcnn_spec=spec)
     return jax.jit(jax.vmap(body, in_axes=(0, None)))
 
 
@@ -77,8 +80,8 @@ class VideoUpscaler:
                  params: dict | None = None):
         self.scale = float(scale)
         self.config = config
-        self.params = params if params is not None else srcnn.load_params(
-            dtype=config.compute_dtype)
+        self.params = (params if params is not None
+                       else pipeline.load_model_params(config, scale))
 
     #: transient device errors are retried this many times per frame before
     #: propagating (tunneled/pre-empted backends can drop a dispatch; the

@@ -47,6 +47,19 @@ def test_upscale_frames_matches_single(butterfly):
     np.testing.assert_array_equal(out[0], upscale(clip[0], 2.0))
 
 
+def test_upscale_frames_lr_families(butterfly):
+    """Batched serving works for every model family, matching the
+    single-image API (which loads the same shipped weights)."""
+    from libsrcnn_tpu import SRCNNConfig
+
+    clip = np.stack([butterfly[:32, :32], butterfly[32:64, :32]])
+    for model in ("fsrcnn", "espcn"):
+        cfg = SRCNNConfig(model=model)
+        out = upscale_frames(clip, 2.0, cfg)
+        assert out.shape == (2, 64, 64, 3)
+        np.testing.assert_array_equal(out[0], upscale(clip[0], 2.0, cfg))
+
+
 def test_video_stream(butterfly):
     frames = [butterfly[i:i + 24, :24] for i in range(0, 72, 24)]
     up = VideoUpscaler(scale=2.0)

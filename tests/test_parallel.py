@@ -78,6 +78,20 @@ def test_gspmd_batch_matches_single(params):
         np.testing.assert_array_equal(np.asarray(conv)[i], refc)
 
 
+def test_gspmd_batch_lr_family(params):
+    """Data-parallel batched serving supports the LR model families."""
+    from libsrcnn_tpu import pipeline
+
+    mesh = make_mesh({"data": 4, "row": 2, "col": 1})
+    imgs = np.random.default_rng(12).integers(0, 256, (4, 16, 16, 3), np.uint8)
+    cfg = SRCNNConfig(model="espcn")
+    eparams = pipeline.load_model_params(cfg, 2.0)
+    out, conv = sharding.upscale_batch(jnp.asarray(imgs), eparams, 2.0,
+                                       cfg, mesh)
+    ref = upscale(imgs[1], 2.0, cfg)
+    np.testing.assert_array_equal(np.asarray(out)[1], ref)
+
+
 def test_gspmd_batch_divisibility(params):
     mesh = make_mesh({"data": 4, "row": 2, "col": 1})
     imgs = np.zeros((6, 16, 16, 3), np.uint8)
