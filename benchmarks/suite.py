@@ -184,6 +184,27 @@ def bench_batch_device(scale=2.0, sizes=(256, 512), batches=(1, 4, 8, 16)):
                   f"{mp / (ms / 1e3):8.1f} MP/s")
 
 
+def bench_models(size=1024, scale=2.0):
+    """Model-zoo throughput: the three families end-to-end at the same
+    output size.  The LR families (fsrcnn/espcn) convolve at INPUT
+    resolution, so their FLOPs are scale^2 lower than SRCNN's."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsrcnn_tpu import SRCNNConfig, pipeline
+
+    rng = np.random.default_rng(0)
+    img = jax.device_put(jnp.asarray(
+        rng.integers(0, 256, (size, size, 3), np.uint8)))
+    out_mp = (size * scale) ** 2 / 1e6
+    print(f"model zoo, {size}^2 -> x{scale} end-to-end:")
+    for model in ("srcnn", "fsrcnn", "espcn"):
+        cfg = SRCNNConfig(model=model)
+        params = jax.device_put(pipeline.load_model_params(cfg, scale))
+        ms = _time(lambda: pipeline.run_pass(img, params, scale, cfg))
+        print(f"  {model:8s} {ms:8.1f} ms  {out_mp / (ms / 1e3):8.1f} MP/s")
+
+
 def bench_scaling(scale=2.0):
     import jax
 
@@ -223,7 +244,7 @@ def main(argv=None):
     which = set(a.lstrip("-") for a in argv) or {"paths"}
     if "all" in which:
         which = {"paths", "sizes", "stages", "batch", "batch-device",
-                 "scaling"}
+                 "models", "scaling"}
     if "paths" in which:
         bench_paths()
     if "sizes" in which:
@@ -234,6 +255,8 @@ def main(argv=None):
         bench_batch()
     if "batch-device" in which:
         bench_batch_device()
+    if "models" in which:
+        bench_models()
     if "scaling" in which:
         bench_scaling()
     return 0
