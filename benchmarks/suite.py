@@ -200,9 +200,11 @@ def bench_models(size=1024, scale=2.0):
     print(f"model zoo, {size}^2 -> x{scale} end-to-end:")
     for model in ("srcnn", "fsrcnn", "espcn"):
         cfg = SRCNNConfig(model=model)
-        params = jax.device_put(pipeline.load_model_params(cfg, scale))
+        params = {k: (v if k == "__spec__" else jax.device_put(v))
+                  for k, v in pipeline.load_model_params(cfg, scale).items()}
         ms = _time(lambda: pipeline.run_pass(img, params, scale, cfg))
-        print(f"  {model:8s} {ms:8.1f} ms  {out_mp / (ms / 1e3):8.1f} MP/s")
+        print(f"  {model:8s} {ms:8.1f} ms  {out_mp / (ms / 1e3):8.1f} MP/s",
+              flush=True)
 
 
 def bench_scaling(scale=2.0):

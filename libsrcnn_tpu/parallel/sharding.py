@@ -71,11 +71,13 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
 
 
 @functools.lru_cache(maxsize=64)
-def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, mesh):
+def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, mesh,
+                model="srcnn", spec=None):
     def body(img, params):
         out, conv = pipeline._single_pass(
             img, params, dst_h=dst_h, dst_w=dst_w,
             filter_type=filter_type, use_pallas=False,
+            model=model, fsrcnn_spec=spec,
         )
         spatial = NamedSharding(mesh, P("row", "col"))
         out = jax.lax.with_sharding_constraint(
@@ -106,5 +108,8 @@ def upscale_spatial(image, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh
             "for the fused-kernel multi-device path, or use_pallas=None.")
     h, w, d = image.shape
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
-    fn = _spatial_fn(h, w, d, dst_h, dst_w, int(cfg.filter), mesh)
+    params, spec = pipeline.prepare_model_params(cfg, params, h, w,
+                                                 dst_h, dst_w, multiply)
+    fn = _spatial_fn(h, w, d, dst_h, dst_w, int(cfg.filter), mesh,
+                     cfg.model, spec)
     return fn(image, params)

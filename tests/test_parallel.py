@@ -92,6 +92,22 @@ def test_gspmd_batch_lr_family(params):
     np.testing.assert_array_equal(np.asarray(out)[1], ref)
 
 
+def test_gspmd_spatial_lr_family(params):
+    """Spatially sharded inference works for the LR families too (their
+    convs are plain XLA ops, which GSPMD partitions with automatic halo
+    collectives) and matches single-device output exactly."""
+    from libsrcnn_tpu import pipeline
+
+    mesh = make_mesh({"data": 1, "row": 4, "col": 2})
+    img = np.random.default_rng(13).integers(0, 256, (32, 32, 3), np.uint8)
+    cfg = SRCNNConfig(model="fsrcnn")
+    fparams = pipeline.load_model_params(cfg, 2.0)
+    out, conv = sharding.upscale_spatial(jnp.asarray(img), fparams, 2.0,
+                                         cfg, mesh)
+    ref = upscale(img, 2.0, cfg)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
 def test_gspmd_batch_divisibility(params):
     mesh = make_mesh({"data": 4, "row": 2, "col": 1})
     imgs = np.zeros((6, 16, 16, 3), np.uint8)
