@@ -115,10 +115,48 @@ def mesh_sweep(size=256, scale=2.0):
     return size, rows_out
 
 
+def stage_pipeline_report(h=256, w=256, scale=2.0, n_frames=8, d=3):
+    """Mechanics timing + analytic accounting for parallel/stages.py."""
+    import jax
+
+    from libsrcnn_tpu import SRCNNConfig, pipeline
+    from libsrcnn_tpu.parallel import stages
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    cfg = SRCNNConfig()
+    params = pipeline.load_model_params(cfg)
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (n_frames, h, w, d), np.uint8)
+
+    def t(fn, n=3):
+        r = fn()
+        jax.block_until_ready(r)
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r = fn()
+        jax.block_until_ready(r)
+        return (time.perf_counter() - t0) / n * 1000
+
+    rows = []
+    for s in (2, 4):
+        mesh = make_mesh({"stage": s, "rest": len(jax.devices()) // s})
+        ms = t(lambda: stages.upscale_pipelined(frames, params, scale, cfg,
+                                                mesh))
+        rows.append((s, ms))
+
+    dst_h, dst_w = int(h * scale), int(w * scale)
+    C = 64 + d - 1
+    step_bytes = C * dst_h * dst_w * 4
+    # per-output-pixel MACs per atomic stage (resize ~16 taps x d planes)
+    atom_macs = (16 * d, 81 * 64, 64 * 32, 25 * 32)
+    return rows, n_frames, step_bytes, atom_macs
+
+
 def main():
     import jax
 
     size, sweep = mesh_sweep()
+    stage_rows, n_frames, step_bytes, atom_macs = stage_pipeline_report()
     h = w = 2048
     scale = 2.0
     rows, cols = 4, 2
@@ -191,6 +229,38 @@ cross-host hops for gigapixel frames) is mitigated by the framework's
 native frame ring + batched dispatch (serve.py) and by mapping the
 ``row`` axis within a host (ICI) and ``data`` across hosts (DCN), as
 parallel/distributed.global_mesh does by default.
+
+## 4. Pipeline-stage path (`parallel/stages.upscale_pipelined`)
+
+Mechanics on the virtual CPU mesh ({n_frames} frames 256^2 -> x2,
+bit-identical to per-frame single-device output, tests/test_stages.py):
+""")
+    print("| stages | clip ms |")
+    print("|---|---|")
+    for s, ms in stage_rows:
+        print(f"| {s} | {ms:.1f} |")
+    macs = atom_macs
+    tot = sum(macs)
+    s1 = macs[0] + macs[1]
+    print(f"""
+Analytic model (why this path is for memory locality, not throughput):
+
+- **ICI per hand-off**: the packed [{66}, H', W'] f32 carry = \
+{step_bytes / 1e6:.1f} MB
+  per step at 512^2 output — set by the widest boundary (conv1's 64
+  planes + chroma); every step ships it once over one ICI hop.
+- **Bubble**: a clip of N frames takes N+S-1 steps -> (S-1)/(N+S-1)
+  idle fraction (S=4, N=8: 27%; amortizes to 0 for long streams).
+- **Stage imbalance is the binding ceiling**: per-pixel MACs split
+  resize+conv1 {s1:,} / conv2 {macs[2]:,} / conv3 {macs[3]:,}
+  ({100 * s1 / tot:.0f}% / {100 * macs[2] / tot:.0f}% / \
+{100 * macs[3] / tot:.0f}%), so the steady-state speedup of ANY grouping
+  is bounded by the conv1 stage at ~{tot / s1:.2f}x regardless of S.
+
+Data parallelism has no such ceiling, which is why `upscale_batch` /
+`serve.upscale_frames` remain the throughput paths; the pipeline's win
+is per-chip memory (one stage's weights + one activation buffer) for
+steady-frame streaming on memory-tight slices.
 """)
 
 
