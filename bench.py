@@ -10,7 +10,13 @@ Measurement notes for the axon-tunneled chip: a device->host sync costs a
 fixed ~30 ms relay roundtrip and block_until_ready() can return early, so
 we dispatch a stream of frames with DISTINCT inputs back-to-back and sync
 once on the last result via a 1-element fetch (device stream execution is
-serialized, so this bounds the whole stream).
+serialized, so this bounds the whole stream).  The stream must be long
+enough to amortize that one 30 ms sync: device-side profiler traces
+(benchmarks/trace_kernel.py, PERF.md) show the 1024->2048 exact pipeline
+module at 17.2 ms executing back-to-back with zero gaps, so an 8-frame
+stream reads ~21 ms/frame (17.2 + 30/8) while a 32-frame stream reads
+~18.1 -- the chip number is the module time; STREAM trades how close the
+wall-clock metric gets to it against bench runtime.
 
 Baseline: the reference (OpenMP CPU build, this machine, BASELINE.md)
 achieves 0.174 MP/s at 256->512 and 0.022 MP/s at 1024->2048.  We compare
@@ -29,8 +35,8 @@ import numpy as np
 BASELINE_MP_S = 0.174  # reference OpenMP CPU, best case (BASELINE.md)
 SIZE = 1024            # input HxW; output is 2048x2048 = 4.19 MP
 SCALE = 2.0
-STREAM = 8             # frames per timed stream
-TRIALS = 5
+STREAM = 32            # frames per timed stream (amortizes the one sync)
+TRIALS = 3
 
 
 def main() -> None:
