@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
 BASELINE_MP_S = 0.174
 
 
@@ -49,20 +51,20 @@ def bench_paths(size=1024, scale=2.0):
     import jax.numpy as jnp
 
     from libsrcnn_tpu import SRCNNConfig
-    from libsrcnn_tpu.models import srcnn
     from libsrcnn_tpu import pipeline
 
     rng = np.random.default_rng(0)
     img = jax.device_put(jnp.asarray(rng.integers(0, 256, (size, size, 3), np.uint8)))
     out_mp = (size * scale) ** 2 / 1e6
     rows = []
-    for name, cfg, dtype in [
-        ("xla-exact", SRCNNConfig(use_pallas=False), "float32"),
-        ("pallas-exact", SRCNNConfig(use_pallas=True), "float32"),
-        ("pallas-bf16", SRCNNConfig(use_pallas=True, compute_dtype="bfloat16"),
-         "bfloat16"),
+    for name, cfg in [
+        ("xla-exact", SRCNNConfig(use_pallas=False)),
+        ("pallas-exact", SRCNNConfig(use_pallas=True)),
+        ("pallas-bf16", SRCNNConfig(use_pallas=True,
+                                    compute_dtype="bfloat16")),
+        ("pallas-int8", SRCNNConfig(use_pallas=True, compute_dtype="int8")),
     ]:
-        params = jax.device_put(srcnn.load_params(dtype=dtype))
+        params = jax.device_put(pipeline.load_model_params(cfg, scale))
         ms = _time(lambda: pipeline.run_pass(img, params, scale, cfg))
         rows.append((name, ms, out_mp / (ms / 1000)))
     print(f"paths @{size}->{int(size*scale)}:")

@@ -33,17 +33,26 @@ def capture(size: int, mode: str, iters: int = 4) -> str:
     from libsrcnn_tpu.models import srcnn
     from libsrcnn_tpu.kernels import fused_conv
 
+    if mode == "int8":
+        from libsrcnn_tpu.models import srcnn_int8
+
+        params = jax.device_put(srcnn_int8.load_params())
+    else:
+        dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
+        params = jax.device_put(srcnn.load_params(dtype=dtype))
     prec = (jax.lax.Precision.HIGHEST if mode == "exact"
             else jax.lax.Precision.DEFAULT)
-    dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
-    params = jax.device_put(srcnn.load_params(dtype=dtype))
     need_h, need_w = fused_conv.padded_geometry(size, size)
     rng = np.random.default_rng(0)
     ys = [jax.device_put(rng.uniform(0, 255, (need_h, need_w))
                          .astype(np.float32)) for _ in range(iters)]
 
-    fn = jax.jit(lambda p, x: fused_conv.forward_y(
-        p, x, precision=prec, full_pad_shape=(size, size)))
+    if mode == "int8":
+        fn = jax.jit(lambda p, x: fused_conv.forward_y_int8(
+            p, x, full_pad_shape=(size, size)))
+    else:
+        fn = jax.jit(lambda p, x: fused_conv.forward_y(
+            p, x, precision=prec, full_pad_shape=(size, size)))
     out = fn(params, ys[0])
     np.asarray(out[0, :1])  # warm-up + true sync through the relay
 
@@ -93,7 +102,8 @@ def report(trace_dir: str, iters: int, out_mp: float) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
-    ap.add_argument("--mode", choices=("exact", "split"), default="exact")
+    ap.add_argument("--mode", choices=("exact", "split", "int8"),
+                    default="exact")
     ap.add_argument("--iters", type=int, default=4)
     args = ap.parse_args()
 

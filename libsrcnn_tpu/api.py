@@ -126,7 +126,11 @@ def debug_intermediates(
     conv2_0..31, conv3."""
     img = _as_u8_image(image)
     if params is None:
-        params = srcnn.load_params(dtype=config.compute_dtype)
+        # the dumper mirrors the reference's f32 DEBUG path; the int8
+        # tier's intermediates are its f32 dequants, so dump those weights
+        dtype = ("float32" if config.compute_dtype == "int8"
+                 else config.compute_dtype)
+        params = srcnn.load_params(dtype=dtype)
     planes = pipeline.run_intermediates(img, params, float(scale), config)
     return {k: np.asarray(v) for k, v in planes.items()}
 

@@ -82,6 +82,8 @@ def parse_args(argv: list[str]):
                 raise SystemExit(f"unknown model: {model}")
         elif arg == "--bf16":
             dtype = "bfloat16"  # throughput mode (~1.5x, SSIM>=0.999)
+        elif arg == "--int8":
+            dtype = "int8"      # draft tier (fastest, ~40 dB vs exact)
         elif arg.startswith("--repeat="):
             repeat = max(1, int(arg[9:]))
         elif arg.startswith("--debug-dir="):
@@ -99,7 +101,8 @@ def parse_args(argv: list[str]):
         raise SystemExit(
             "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
             "--scale=F --filter=0..4|name --step --pallas|--no-pallas "
-            "--model=srcnn|fsrcnn|espcn --bf16 --repeat=N --debug-dir=DIR"
+            "--model=srcnn|fsrcnn|espcn --bf16 --int8 --repeat=N "
+            "--debug-dir=DIR"
         )
     if file_dst is None:
         file_dst = _auto_name(file_src, "resized")

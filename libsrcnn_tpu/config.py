@@ -46,7 +46,9 @@ class SRCNNConfig:
         u8 round-trip between passes, mirroring `libsrcnn.cpp:980-1061`.
       compute_dtype: dtype for the conv stack on device.  ``float32`` matches
         the reference closely; ``bfloat16`` trades ~1 u8 LSB of precision for
-        MXU throughput.
+        MXU throughput; ``int8`` (srcnn model only) is the quantized draft
+        tier -- the v5e MXU runs int8 at 2x the bf16 rate; quality vs the
+        exact path is ~40 dB PSNR (see PERF.md and models/srcnn_int8.py).
       emit_conv_map: also return the raw Y-channel conv3 output as u8
         (`libsrcnn.cpp:889-915`).
       use_pallas: route the conv stack through the fused Pallas kernel.

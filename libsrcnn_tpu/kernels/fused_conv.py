@@ -185,6 +185,168 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
     out_ref[0, :, 0] = jnp.clip(acc + b3_ref[0], 0.0, 255.0)
 
 
+def _kernel_int8(w1_ref, b1_ref, d1_ref, r1_ref, w2_ref, b2_ref, d2_ref,
+                 r2_ref, w3_ref, b3_ref, d3_ref, flags_ref, win_ref,
+                 out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
+                 gh: int, gw: int):
+    """int8 MXU variant of :func:`_kernel` (v5e runs int8 matmuls at 2x
+    the bf16 rate): same im2col / conv3 roll-reduce structure, integer
+    contractions with f32 dequant/bias/ReLU/requant epilogues.  The
+    quantization scheme and parameter layouts come from
+    tools/calibrate_int8.py; the XLA twin is models/srcnn_int8.forward_y
+    and matches this kernel within 1 u8 LSB (integer contractions are
+    identical; borderline requant rounding may differ under the two
+    compilations' FMA fusion)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    ch = th + 4
+    ext = win_ref[:]                              # [RB, 1, EW]
+    shift = j * TW - (j * TW) // 128 * 128
+    ext = pltpu.roll(ext, (EW - shift) % EW, axis=2)
+
+    for dy in range(9):
+        for dx in range(9):
+            k = dy * 9 + dx
+            q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW]
+    q = q_scr[:]                                  # [ch, 81, CW] f32
+
+    i8dims1 = (((1,), (0,)), ((), ()))
+    xq = jnp.clip(jnp.round(q * (127.0 / 255.0)), 0, 127).astype(jnp.int8)
+    acc1 = jax.lax.dot_general(xq, w1_ref[:], i8dims1,
+                               preferred_element_type=jnp.int32)
+    h1 = jnp.maximum(acc1.astype(jnp.float32) * d1_ref[:] + b1_ref[:], 0.0)
+    h1q = jnp.clip(jnp.round(h1 * r1_ref[:]), 0, 127).astype(jnp.int8)
+
+    acc2 = jax.lax.dot_general(h1q, w2_ref[:], (((2,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    c2 = jnp.maximum(acc2.astype(jnp.float32) * d2_ref[:] + b2_ref[:], 0.0)
+
+    # reference conv2-output border clamp (same as _kernel), on f32 values
+    # -- replicating codes after requant is identical, but clamping here
+    # keeps the two kernels structurally parallel
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
+    c2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),
+                   c2[2:3], c2)
+    c2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
+                   c2[a_hi:a_hi + 1], c2)
+    c2 = jnp.where((flags_ref[2] == 1) & (j == 0) & (col_idx < 2),
+                   c2[:, 2:3, :], c2)
+    c2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
+                   c2[:, s_hi:s_hi + 1, :], c2)
+
+    c2q = jnp.clip(jnp.round(c2 * r2_ref[:]), 0, 127).astype(jnp.int8)
+    c2t = jnp.swapaxes(c2q, 1, 2)                 # [ch, 32, CW] int8
+    wb = jnp.broadcast_to(w3_ref[:], (ch, 25, 32))
+    g = jax.lax.dot_general(
+        wb, c2t, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32)         # [ch, 25, CW] int32
+    # roll-reduce stays in int32 (exact) -- ONE f32 scale at the end,
+    # matching the XLA twin's full-int32 accumulate
+    q25 = None
+    for dx in range(5):
+        blk = g[:, 5 * dx:5 * dx + 5, :]
+        r = pltpu.roll(blk, CW - dx, axis=2) if dx else blk
+        q25 = r if q25 is None else q25 + r
+    acc = None
+    for dy in range(5):
+        t = q25[dy:dy + th, dy:dy + 1, :]
+        acc = t if acc is None else acc + t
+    out = acc.astype(jnp.float32) * d3_ref[0] + b3_ref[0]
+    out_ref[0, :, 0] = jnp.clip(out, 0.0, 255.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("th", "interpret", "pad_mode",
+                                    "full_shape"))
+def _fused_int8(y, qp: dict, edge_flags=None, *, th: int, interpret: bool,
+                pad_mode: str = "none", full_shape: tuple | None = None):
+    """int8 twin of :func:`_fused`: same geometry/BlockSpec scheme, the
+    quantized parameter pack instead of f32 weights."""
+    if pad_mode == "full":
+        h, w = full_shape
+    elif pad_mode == "halo":
+        h, w = y.shape[0] - 2 * HALO, y.shape[1] - 2 * HALO
+    else:
+        h, w = y.shape
+    if edge_flags is None:
+        edge_flags = jnp.ones((4,), jnp.int32)
+    gh, gw = -(-h // th), -(-w // TW)
+    hp, wp = gh * th, gw * TW
+    rb = _round8(th + 2 * HALO)
+    need_h = (gh - 1) * th + rb
+    need_w = (gw - 1) * TW + EW
+
+    if pad_mode == "full":
+        assert y.shape == (need_h, need_w), (y.shape, need_h, need_w)
+        yext = y
+    elif pad_mode == "halo":
+        yext = jnp.pad(y, ((0, need_h - (h + 2 * HALO)),
+                           (0, need_w - (w + 2 * HALO))), mode="edge")
+    else:
+        ypad = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
+        yext = jnp.pad(ypad, ((HALO, need_h - hp - HALO),
+                              (HALO, need_w - wp - HALO)), mode="edge")
+    yext = yext[:, None, :]
+
+    a_hi = (h - 1) - (gh - 1) * th + 2
+    s_hi = (w - 1) - (gw - 1) * TW + 2
+    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out4 = pl.pallas_call(
+        functools.partial(_kernel_int8, th=th, a_hi=a_hi, s_hi=s_hi,
+                          gh=gh, gw=gw),
+        out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, CW), jnp.float32),
+        grid=(gh, gw),
+        in_specs=[vm] * 11 + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # edge flags [4]
+            pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(EW)),
+                         lambda i, j: (i * th, 0, (j * TW) // 128 * 128),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, 1, 1, CW),
+                               lambda i, j: (i, 0, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hp * wp * (81 * 64 + 64 * 32 + 25 * 32),
+            bytes_accessed=hp * wp * 8,
+            transcendentals=0,
+        ),
+    )(qp["w1q"], qp["b1"], qp["d1"], qp["r1"],
+      qp["w2q"], qp["b2"], qp["d2"], qp["r2"],
+      qp["w3q"], qp["b3"], qp["d3"],
+      jnp.asarray(edge_flags, jnp.int32), yext)
+
+    out = out4.reshape(hp, gw, CW)[:, :, :TW].reshape(hp, gw * TW)
+    return out[:h, :w]
+
+
+def forward_y_int8(qparams: dict, y: jnp.ndarray, *,
+                   tile_h: int | None = None, interpret: bool | None = None,
+                   full_pad_shape: tuple | None = None) -> jnp.ndarray:
+    """Fused int8 forward (draft/throughput tier): like :func:`forward_y`
+    but with the quantized pack from models/srcnn_int8.load_params.
+    Within 1 u8 LSB of the XLA twin models/srcnn_int8.forward_y; quality
+    vs the exact f32 path is ~40 dB PSNR (PERF.md)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if tile_h is None:
+        tile_h = DEFAULT_TH
+    squeeze = y.ndim == 2
+    if squeeze:
+        y = y[None]
+    pad_mode = "none" if full_pad_shape is None else "full"
+    outs = []
+    for k in range(y.shape[0]):
+        plane = y[k].astype(jnp.float32)
+        outs.append(_fused_int8(plane, qparams, th=tile_h,
+                                interpret=interpret, pad_mode=pad_mode,
+                                full_shape=full_pad_shape))
+    out = jnp.stack(outs)
+    return out[0] if squeeze else out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("th", "interpret", "precision",
                                     "pad_mode", "full_shape"))

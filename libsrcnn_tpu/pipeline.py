@@ -43,6 +43,10 @@ def load_model_params(cfg: "SRCNNConfig", scale: float = 2.0) -> dict:
         fparams, spec = mod.load_params(
             scale=2 if cfg.step_scale else int(scale))
         return dict(fparams, __spec__=spec)
+    if cfg.compute_dtype == "int8":
+        from .models import srcnn_int8
+
+        return srcnn_int8.load_params()
     return srcnn.load_params(dtype=cfg.compute_dtype)
 
 
@@ -88,6 +92,19 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
     if model in LR_FAMILIES:
         mod = _lr_family(model)
         y_sr = mod.forward_lr(params, planes[0], fsrcnn_spec)
+    elif compute_dtype == "int8" and use_pallas:
+        from .kernels import fused_conv
+
+        need_h, need_w = fused_conv.padded_geometry(dst_h, dst_w)
+        y_r = resize.resize_plane_padded(planes[0], dst_h, dst_w, y_filter,
+                                         fused_conv.HALO, need_h, need_w)
+        y_sr = fused_conv.forward_y_int8(params, y_r,
+                                         full_pad_shape=(dst_h, dst_w))
+    elif compute_dtype == "int8":
+        from .models import srcnn_int8
+
+        y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
+        y_sr = srcnn_int8.forward_y(params, y_r)
     elif use_pallas:
         import jax
         from .kernels import fused_conv
