@@ -26,7 +26,8 @@ import numpy as np
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
-def capture(size: int, mode: str, iters: int = 4) -> str:
+def capture(size: int, mode: str, iters: int = 4,
+            th: int | None = None) -> str:
     import jax
     import jax.numpy as jnp
 
@@ -42,17 +43,19 @@ def capture(size: int, mode: str, iters: int = 4) -> str:
         params = jax.device_put(srcnn.load_params(dtype=dtype))
     prec = (jax.lax.Precision.HIGHEST if mode == "exact"
             else jax.lax.Precision.DEFAULT)
-    need_h, need_w = fused_conv.padded_geometry(size, size)
+    if th is None:
+        th = fused_conv.DEFAULT_TH
+    need_h, need_w = fused_conv.padded_geometry(size, size, th=th)
     rng = np.random.default_rng(0)
     ys = [jax.device_put(rng.uniform(0, 255, (need_h, need_w))
                          .astype(np.float32)) for _ in range(iters)]
 
     if mode == "int8":
         fn = jax.jit(lambda p, x: fused_conv.forward_y_int8(
-            p, x, full_pad_shape=(size, size)))
+            p, x, tile_h=th, full_pad_shape=(size, size)))
     else:
         fn = jax.jit(lambda p, x: fused_conv.forward_y(
-            p, x, precision=prec, full_pad_shape=(size, size)))
+            p, x, tile_h=th, precision=prec, full_pad_shape=(size, size)))
     out = fn(params, ys[0])
     np.asarray(out[0, :1])  # warm-up + true sync through the relay
 
@@ -105,9 +108,11 @@ def main() -> None:
     ap.add_argument("--mode", choices=("exact", "split", "int8"),
                     default="exact")
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--th", type=int, default=None,
+                    help="tile height (default: the mode's default)")
     args = ap.parse_args()
 
-    trace_dir = capture(args.size, args.mode, args.iters)
+    trace_dir = capture(args.size, args.mode, args.iters, args.th)
     print(f"trace: {trace_dir}")
     report(trace_dir, args.iters, args.size * args.size / 1e6)
 

@@ -59,6 +59,9 @@ EW = 384          # window block lane width: Mosaic requires Element lane
 
 
 DEFAULT_TH = 40   # largest tile height fitting VMEM (f32 GEMM buffers)
+INT8_TH = 80      # int8 kernel default: no hi/lo GEMM splits + int8 scratch
+                  # leave VMEM headroom for taller tiles; th=80 measured
+                  # fastest of {40, 80, 120} (benchmarks/int8_th_sweep.py)
 
 
 def _round8(x: int) -> int:
@@ -185,57 +188,66 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
     out_ref[0, :, 0] = jnp.clip(acc + b3_ref[0], 0.0, 255.0)
 
 
-def _kernel_int8(w1_ref, b1_ref, d1_ref, r1_ref, w2_ref, b2_ref, d2_ref,
-                 r2_ref, w3_ref, b3_ref, d3_ref, flags_ref, win_ref,
+def _kernel_int8(w1_ref, s1_ref, t1_ref, w2_ref, s2_ref, t2_ref,
+                 w3_ref, d3_ref, b3_ref, flags_ref, win_ref,
                  out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
                  gh: int, gw: int):
     """int8 MXU variant of :func:`_kernel` (v5e runs int8 matmuls at 2x
     the bf16 rate): same im2col / conv3 roll-reduce structure, integer
-    contractions with f32 dequant/bias/ReLU/requant epilogues.  The
-    quantization scheme and parameter layouts come from
-    tools/calibrate_int8.py; the XLA twin is models/srcnn_int8.forward_y
-    and matches this kernel within 1 u8 LSB (integer contractions are
-    identical; borderline requant rounding may differ under the two
-    compilations' FMA fusion)."""
+    contractions with the FOLDED inter-layer epilogue -- one f32
+    FMA + round + clip per activation (pack keys s = dequant*requant,
+    t = bias*requant; the clip's lower bound subsumes the ReLU, see
+    tools/calibrate_int8.py).  The XLA twin is
+    models/srcnn_int8.forward_y and matches this kernel within 1 u8 LSB
+    (integer contractions are identical; borderline requant rounding may
+    differ under the two compilations' FMA fusion)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     ch = th + 4
-    ext = win_ref[:]                              # [RB, 1, EW]
+    ext = win_ref[:]                              # [RB, 1, EW] f32
     shift = j * TW - (j * TW) // 128 * 128
+    # Mosaic's dynamic lane rotate is 32-bit-only, so the window rides in
+    # f32 and is rolled BEFORE quantization ...
     ext = pltpu.roll(ext, (EW - shift) % EW, axis=2)
+    # ... then the whole tile window is quantized ONCE ([RB, EW] elements)
+    # and the im2col fan-out replicates int8 CODES, not quantization work
+    # (the v1 int8 kernel quantized the 81x-redundant scratch: ~2 ms/frame
+    # of pure VPU waste at 2048^2); the int8 scratch also quarters the
+    # im2col VMEM traffic
+    extq = jnp.clip(jnp.round(ext * (127.0 / 255.0)), 0, 127).astype(jnp.int8)
 
     for dy in range(9):
         for dx in range(9):
             k = dy * 9 + dx
-            q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW]
-    q = q_scr[:]                                  # [ch, 81, CW] f32
+            q_scr[:, k:k + 1, :] = extq[dy:dy + ch, :, dx:dx + CW]
+    xq = q_scr[:]                                 # [ch, 81, CW] int8
 
     i8dims1 = (((1,), (0,)), ((), ()))
-    xq = jnp.clip(jnp.round(q * (127.0 / 255.0)), 0, 127).astype(jnp.int8)
     acc1 = jax.lax.dot_general(xq, w1_ref[:], i8dims1,
                                preferred_element_type=jnp.int32)
-    h1 = jnp.maximum(acc1.astype(jnp.float32) * d1_ref[:] + b1_ref[:], 0.0)
-    h1q = jnp.clip(jnp.round(h1 * r1_ref[:]), 0, 127).astype(jnp.int8)
+    h1q = jnp.clip(jnp.round(acc1.astype(jnp.float32) * s1_ref[:]
+                             + t1_ref[:]), 0, 127).astype(jnp.int8)
 
     acc2 = jax.lax.dot_general(h1q, w2_ref[:], (((2,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
-    c2 = jnp.maximum(acc2.astype(jnp.float32) * d2_ref[:] + b2_ref[:], 0.0)
 
-    # reference conv2-output border clamp (same as _kernel), on f32 values
-    # -- replicating codes after requant is identical, but clamping here
-    # keeps the two kernels structurally parallel
+    # reference conv2-output border clamp (same as _kernel), applied to the
+    # int32 accumulators: the folded epilogue is elementwise per channel,
+    # so replicating accumulators == replicating the reference's f32
+    # conv2 outputs
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
-    c2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),
-                   c2[2:3], c2)
-    c2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
-                   c2[a_hi:a_hi + 1], c2)
-    c2 = jnp.where((flags_ref[2] == 1) & (j == 0) & (col_idx < 2),
-                   c2[:, 2:3, :], c2)
-    c2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
-                   c2[:, s_hi:s_hi + 1, :], c2)
+    acc2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),
+                     acc2[2:3], acc2)
+    acc2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
+                     acc2[a_hi:a_hi + 1], acc2)
+    acc2 = jnp.where((flags_ref[2] == 1) & (j == 0) & (col_idx < 2),
+                     acc2[:, 2:3, :], acc2)
+    acc2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
+                     acc2[:, s_hi:s_hi + 1, :], acc2)
 
-    c2q = jnp.clip(jnp.round(c2 * r2_ref[:]), 0, 127).astype(jnp.int8)
+    c2q = jnp.clip(jnp.round(acc2.astype(jnp.float32) * s2_ref[:]
+                             + t2_ref[:]), 0, 127).astype(jnp.int8)
     c2t = jnp.swapaxes(c2q, 1, 2)                 # [ch, 32, CW] int8
     wb = jnp.broadcast_to(w3_ref[:], (ch, 25, 32))
     g = jax.lax.dot_general(
@@ -297,7 +309,7 @@ def _fused_int8(y, qp: dict, edge_flags=None, *, th: int, interpret: bool,
                           gh=gh, gw=gw),
         out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, CW), jnp.float32),
         grid=(gh, gw),
-        in_specs=[vm] * 11 + [
+        in_specs=[vm] * 9 + [
             pl.BlockSpec(memory_space=pltpu.SMEM),      # edge flags [4]
             pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(EW)),
                          lambda i, j: (i * th, 0, (j * TW) // 128 * 128),
@@ -306,16 +318,15 @@ def _fused_int8(y, qp: dict, edge_flags=None, *, th: int, interpret: bool,
         out_specs=pl.BlockSpec((1, th, 1, 1, CW),
                                lambda i, j: (i, 0, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), jnp.int8)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * hp * wp * (81 * 64 + 64 * 32 + 25 * 32),
             bytes_accessed=hp * wp * 8,
             transcendentals=0,
         ),
-    )(qp["w1q"], qp["b1"], qp["d1"], qp["r1"],
-      qp["w2q"], qp["b2"], qp["d2"], qp["r2"],
-      qp["w3q"], qp["b3"], qp["d3"],
+    )(qp["w1q"], qp["s1"], qp["t1"], qp["w2q"], qp["s2"], qp["t2"],
+      qp["w3q"], qp["d3"], qp["b3"],
       jnp.asarray(edge_flags, jnp.int32), yext)
 
     out = out4.reshape(hp, gw, CW)[:, :, :TW].reshape(hp, gw * TW)
@@ -332,7 +343,7 @@ def forward_y_int8(qparams: dict, y: jnp.ndarray, *,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if tile_h is None:
-        tile_h = DEFAULT_TH
+        tile_h = INT8_TH
     squeeze = y.ndim == 2
     if squeeze:
         y = y[None]

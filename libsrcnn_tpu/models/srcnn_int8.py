@@ -65,10 +65,13 @@ def quantize_input(y: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(y * INPUT_SCALE), 0, 127).astype(jnp.int8)
 
 
-def requant(h: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Post-ReLU f32 activations -> int8 codes with per-channel scale
-    r = 127/a (broadcast over the trailing channel dim)."""
-    return jnp.clip(jnp.round(h * r), 0, 127).astype(jnp.int8)
+def fold_requant(acc: jnp.ndarray, s: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
+    """int32 conv accumulators -> next layer's int8 codes via the folded
+    epilogue: clip(round(acc*s + t), 0, 127) with s = dequant*requant and
+    t = bias*requant per channel (the clip's lower bound subsumes the
+    ReLU -- tools/calibrate_int8.py derives the identity)."""
+    return jnp.clip(jnp.round(acc.astype(jnp.float32) * s + t),
+                    0, 127).astype(jnp.int8)
 
 
 def _conv_i8(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -81,7 +84,7 @@ def forward_y(qparams: dict, y: jnp.ndarray, *, clamp: bool = True) -> jnp.ndarr
     """int8 9-1-5 stack on [H, W] or [N, H, W] Y plane(s), XLA ops.
 
     Integer-exact twin of the fused kernel's int8 path: conv taps are
-    contracted in int8->int32, dequant/bias/ReLU/requant in f32.
+    contracted in int8->int32, folded f32 FMA epilogue between layers.
     """
     squeeze = y.ndim == 2
     if squeeze:
@@ -96,11 +99,9 @@ def forward_y(qparams: dict, y: jnp.ndarray, *, clamp: bool = True) -> jnp.ndarr
 
     xq = quantize_input(y.astype(jnp.float32))[..., None]   # NHWC int8
     acc1 = _conv_i8(edge_pad(xq, 4), w1)
-    h1 = jnp.maximum(acc1.astype(jnp.float32) * p["d1"] + p["b1"], 0.0)
-    h1q = requant(h1, p["r1"])
+    h1q = fold_requant(acc1, p["s1"], p["t1"])
     acc2 = _conv_i8(h1q, w2)
-    h2 = jnp.maximum(acc2.astype(jnp.float32) * p["d2"] + p["b2"], 0.0)
-    h2q = requant(h2, p["r2"])
+    h2q = fold_requant(acc2, p["s2"], p["t2"])
     acc3 = _conv_i8(edge_pad(h2q, 2), w3)
     out = acc3[..., 0].astype(jnp.float32) * p["d3"][0] + p["b3"][0]
     if clamp:

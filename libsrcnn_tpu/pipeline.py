@@ -95,7 +95,8 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
     elif compute_dtype == "int8" and use_pallas:
         from .kernels import fused_conv
 
-        need_h, need_w = fused_conv.padded_geometry(dst_h, dst_w)
+        need_h, need_w = fused_conv.padded_geometry(dst_h, dst_w,
+                                                    th=fused_conv.INT8_TH)
         y_r = resize.resize_plane_padded(planes[0], dst_h, dst_w, y_filter,
                                          fused_conv.HALO, need_h, need_w)
         y_sr = fused_conv.forward_y_int8(params, y_r,

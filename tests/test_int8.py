@@ -44,9 +44,9 @@ def test_pack_layout(qparams):
     assert qparams["w1q"].dtype == jnp.int8 and qparams["w1q"].shape == (81, 64)
     assert qparams["w2q"].dtype == jnp.int8 and qparams["w2q"].shape == (64, 32)
     assert qparams["w3q"].dtype == jnp.int8 and qparams["w3q"].shape == (25, 32)
-    for k in ("d1", "b1", "r1"):
+    for k in ("s1", "t1"):
         assert qparams[k].shape == (64,)
-    for k in ("d2", "b2", "r2"):
+    for k in ("s2", "t2"):
         assert qparams[k].shape == (32,)
     assert qparams["d3"].shape == (1,) and qparams["b3"].shape == (1,)
     # calibration intermediates are stripped from the runtime pack
