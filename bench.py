@@ -6,24 +6,35 @@ frame -> x2 bicubic + SRCNN 9-1-5 -> RGB u8, measured as OUTPUT megapixels
 per second on one chip, steady state (inputs device-resident; host PNG I/O
 excluded on both sides of the comparison).
 
+Both compute tiers are measured in one process and reported in the one
+JSON line:
+
+* ``value`` (the headline) is the THROUGHPUT tier (split-bf16x2 Pallas
+  kernel): the BASELINE.json target is ">=50x CPU at >=0.99 SSIM vs the
+  reference", and this tier measures SSIM 0.99995 / 53.3 dB / max 2 u8
+  against the bit-exact tier (PERF.md) -- far inside the quality bar.
+  (The reference itself ships with `-ffast-math -O3`; bit-identity to
+  IEEE f32 is not part of its contract either.)
+* ``exact_mp_per_sec`` is the EXACT tier (multi-pass f32 GEMMs), the
+  library default, which the golden gate holds to <=1 u8 LSB against the
+  reference binary on 23 configs; it is precision-algorithm-bound at
+  ~49% MXU (3 passes mandated -- PERF.md roofline).
+
 Measurement notes for the axon-tunneled chip: a device->host sync costs a
 fixed ~30 ms relay roundtrip and block_until_ready() can return early, so
 we dispatch a stream of frames with DISTINCT inputs back-to-back and sync
 once on the last result via a 1-element fetch (device stream execution is
-serialized, so this bounds the whole stream).  The stream must be long
-enough to amortize that one 30 ms sync: device-side profiler traces
-(benchmarks/trace_kernel.py, PERF.md) show the 1024->2048 exact pipeline
-module at 17.2 ms executing back-to-back with zero gaps, so an 8-frame
-stream reads ~21 ms/frame (17.2 + 30/8) while a 32-frame stream reads
-~18.1 -- the chip number is the module time; STREAM trades how close the
-wall-clock metric gets to it against bench runtime.
+serialized, so this bounds the whole stream).  Device-side profiler
+traces (benchmarks/trace_kernel.py, PERF.md) show the modules executing
+back-to-back with zero gaps, so the one ~30 ms sync is the only non-chip
+term; STREAM=32 amortizes it to <1 ms/frame.
 
 Baseline: the reference (OpenMP CPU build, this machine, BASELINE.md)
 achieves 0.174 MP/s at 256->512 and 0.022 MP/s at 1024->2048.  We compare
 against its BEST number (0.174).
 
 Prints one JSON line:
-  {"metric": "mp_per_sec_x2_srcnn", "value": N, "unit": "MP/s", "vs_baseline": N}
+  {"metric": "mp_per_sec_x2_srcnn", "value": N, "unit": "MP/s", "vs_baseline": N, ...}
 """
 
 import json
@@ -49,50 +60,61 @@ def main() -> None:
 
     # use_pallas=None auto-selects the fused Pallas kernel on TPU;
     # BENCH_PALLAS=0 forces the XLA path for comparison runs.
-    cfg = SRCNNConfig(
-        use_pallas=False if os.environ.get("BENCH_PALLAS") == "0" else None)
+    use_pallas = False if os.environ.get("BENCH_PALLAS") == "0" else None
+    modes = {
+        "throughput": SRCNNConfig(use_pallas=use_pallas,
+                                  compute_dtype="bfloat16"),
+        "exact": SRCNNConfig(use_pallas=use_pallas),
+    }
 
-    params = jax.device_put(srcnn.load_params())
     rng = np.random.default_rng(0)
     imgs = [
         jax.device_put(jnp.asarray(rng.integers(0, 256, (SIZE, SIZE, 3), np.uint8)))
         for _ in range(STREAM)
     ]
 
-    def run_stream():
+    def run_stream(params, cfg):
         last = None
         for im in imgs:
             last = pipeline.run_pass(im, params, SCALE, cfg)
         np.asarray(last[0][0, 0])  # data-dependent sync through the relay
         return last
 
-    try:
-        last = run_stream()  # compile + warmup
-    except Exception:
-        # pallas path (explicit True or auto-resolved on TPU) failed on this
-        # backend: fall back to the XLA convs
-        if pipeline.resolve_pallas(cfg.use_pallas):
-            cfg = SRCNNConfig(use_pallas=False)
-            last = run_stream()
-        else:
-            raise
-    run_stream()
+    results = {}
+    mp = None
+    for name in ("throughput", "exact"):
+        cfg = modes[name]
+        params = jax.device_put(srcnn.load_params(dtype=cfg.compute_dtype))
+        try:
+            last = run_stream(params, cfg)  # compile + warmup
+        except Exception:
+            # pallas path (explicit True or auto-resolved on TPU) failed on
+            # this backend: fall back to the XLA convs
+            if pipeline.resolve_pallas(cfg.use_pallas):
+                cfg = SRCNNConfig(use_pallas=False,
+                                  compute_dtype=cfg.compute_dtype)
+                last = run_stream(params, cfg)
+            else:
+                raise
+        run_stream(params, cfg)
+        times = []
+        for _ in range(TRIALS):
+            t0 = time.perf_counter()
+            last = run_stream(params, cfg)
+            times.append((time.perf_counter() - t0) / STREAM)
+        out = last[0]
+        mp = out.shape[0] * out.shape[1] / 1e6
+        results[name] = mp / float(np.median(times))
 
-    times = []
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        last = run_stream()
-        times.append((time.perf_counter() - t0) / STREAM)
-
-    out = last[0]
-    mp = out.shape[0] * out.shape[1] / 1e6
-    dt = float(np.median(times))
-    value = mp / dt
+    value = results["throughput"]
     print(json.dumps({
         "metric": "mp_per_sec_x2_srcnn",
         "value": round(value, 2),
         "unit": "MP/s",
         "vs_baseline": round(value / BASELINE_MP_S, 1),
+        "mode": "split-bf16x2 (SSIM 0.99995 vs exact tier; >=0.99 required)",
+        "exact_mp_per_sec": round(results["exact"], 2),
+        "exact_vs_baseline": round(results["exact"] / BASELINE_MP_S, 1),
     }))
 
 
