@@ -78,7 +78,7 @@ def parse_args(argv: list[str]):
             use_pallas = True
         elif arg.startswith("--model="):
             model = arg[8:]
-            if model not in ("srcnn", "fsrcnn", "espcn"):
+            if model not in ("srcnn", "fsrcnn", "espcn", "vdsr"):
                 raise SystemExit(f"unknown model: {model}")
         elif arg == "--bf16":
             dtype = "bfloat16"  # throughput mode (~1.5x, SSIM>=0.999)
@@ -101,7 +101,7 @@ def parse_args(argv: list[str]):
         raise SystemExit(
             "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
             "--scale=F --filter=0..4|name --step --pallas|--no-pallas "
-            "--model=srcnn|fsrcnn|espcn --bf16 --int8 --repeat=N "
+            "--model=srcnn|fsrcnn|espcn|vdsr --bf16 --int8 --repeat=N "
             "--debug-dir=DIR"
         )
     if file_dst is None:

@@ -40,6 +40,7 @@ class EvalResult:
 def evaluate_image(
     hr: np.ndarray, scale: float = 2.0,
     filter_type: FilterType = FilterType.BICUBIC, name: str = "",
+    model: str = "srcnn",
 ) -> EvalResult:
     """Downscale ``hr`` by 1/scale, upscale back both ways, compare."""
     import jax.numpy as jnp
@@ -47,6 +48,14 @@ def evaluate_image(
     from ..api import upscale
     from ..ops import color, resize
 
+    from ..pipeline import LR_FAMILIES
+
+    if model in LR_FAMILIES:
+        # LR families ship per-scale weights and need the factor exact:
+        # crop the ground truth to a multiple of the integer scale
+        s = int(round(scale))
+        scale = float(s)
+        hr = hr[:hr.shape[0] // s * s, :hr.shape[1] // s * s]
     h, w = hr.shape[:2]
     lw, lh = max(1, int(w / scale)), max(1, int(h / scale))
 
@@ -63,7 +72,8 @@ def evaluate_image(
     exact_h = float(h) / lh
     up_scale = max(exact, exact_h)
 
-    srcnn_up = upscale(lr, up_scale, SRCNNConfig(filter=filter_type))[:h, :w]
+    srcnn_up = upscale(lr, up_scale,
+                       SRCNNConfig(filter=filter_type, model=model))[:h, :w]
 
     planes_lr = color.rgb_to_ycbcr(jnp.asarray(lr))
     interp = jnp.stack([
@@ -83,7 +93,8 @@ def evaluate_image(
 
 
 def evaluate_dir(path: str, scale: float = 2.0,
-                 filter_type: FilterType = FilterType.BICUBIC) -> list[EvalResult]:
+                 filter_type: FilterType = FilterType.BICUBIC,
+                 model: str = "srcnn") -> list[EvalResult]:
     from ..io import load_image
 
     if os.path.isfile(path):
@@ -96,7 +107,7 @@ def evaluate_dir(path: str, scale: float = 2.0,
     for f in files:
         img = load_image(f)[..., :3]
         results.append(evaluate_image(img, scale, filter_type,
-                                      name=os.path.basename(f)))
+                                      name=os.path.basename(f), model=model))
     return results
 
 

@@ -1,0 +1,154 @@
+"""VDSR (Kim et al., CVPR 2016 -- "Accurate Image Super-Resolution Using
+Very Deep Convolutional Networks") as the zoo's deep HR-domain family.
+
+Like the reference's SRCNN (and unlike FSRCNN/ESPCN), VDSR runs AFTER
+classical interpolation, at high resolution -- so one checkpoint serves
+EVERY factor the pipeline can produce (fractional scales, step-scale
+chains), which neither per-scale LR family can.  What it adds over
+SRCNN's 3 layers is depth with residual learning: the network predicts
+only the interpolation residual, and the identity path carries the
+image.  (The reference stops at 9-1-5 with baked-in weights,
+`libsrcnn.cpp:350-529`; a deep family is beyond-reference breadth.)
+
+TPU-shaped implementation details:
+
+* The interior layers all share one shape (3x3, ch->ch), so they are
+  STACKED into a single [L, 3, 3, ch, ch] array and driven by
+  ``lax.scan`` -- the conv is traced and compiled once regardless of
+  depth (compile time stays O(1) in L), and XLA pipelines the layer loop
+  on-chip.
+* The scan body is wrapped in ``jax.checkpoint``: activations for the L
+  interior layers are rematerialized in the backward pass instead of
+  stored, so training memory is O(1) in depth -- the standard TPU
+  recipe for deep stacks (HBM is the bottleneck, FLOPs are cheap).
+* Replicate SAME padding (edge semantics match the reference's conv
+  border policy), f32 accumulation at HIGHEST precision.
+
+Shipped weights: ``weights/vdsr.npz``, trained by tools/train_vdsr.py
+with mixed scales {2, 3, 4} on the same corpus/degradation model as the
+other families (butterfly held out); :func:`load_params` restores them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+
+
+@dataclasses.dataclass(frozen=True)
+class VDSRSpec:
+    depth: int = 12   # total conv layers (>= 3): in + (depth-2) interior + out
+    ch: int = 32      # interior feature channels
+
+    @property
+    def name(self) -> str:
+        return f"vdsr-d{self.depth}c{self.ch}"
+
+
+def default_spec() -> VDSRSpec:
+    return VDSRSpec()
+
+
+def init_params(key: jax.Array, spec: VDSRSpec = VDSRSpec(),
+                dtype=jnp.float32) -> dict:
+    if spec.depth < 3:
+        raise ValueError(f"VDSR depth must be >= 3, got {spec.depth}")
+    k_in, k_mid, k_out = jax.random.split(key, 3)
+    L = spec.depth - 2
+
+    def he(k, shape, fan_in):
+        return jax.random.normal(k, shape, dtype) * float(
+            np.sqrt(2.0 / fan_in))
+
+    return {
+        "in_w": he(k_in, (3, 3, 1, spec.ch), 9),
+        "in_b": jnp.zeros((spec.ch,), dtype),
+        "mid_w": he(k_mid, (L, 3, 3, spec.ch, spec.ch), 9 * spec.ch),
+        "mid_b": jnp.zeros((L, spec.ch), dtype),
+        # residual head starts near zero: the net begins as the identity
+        "out_w": he(k_out, (3, 3, spec.ch, 1), 9 * spec.ch) * 0.1,
+        "out_b": jnp.zeros((1,), dtype),
+    }
+
+
+@functools.lru_cache(maxsize=2)
+def _load_cached(path: str):
+    z = np.load(path)
+    spec = VDSRSpec(depth=int(z["meta_depth"]), ch=int(z["meta_ch"]))
+    params = {k: jnp.asarray(z[k]) for k in z.files
+              if not k.startswith("meta_")}
+    return params, spec
+
+
+def load_params(scale: int | None = None, path: str | None = None,
+                dtype=jnp.float32):
+    """Load shipped (or checkpointed) VDSR weights -> (params, spec).
+
+    ``scale`` is accepted for model-zoo protocol uniformity and ignored:
+    the checkpoint is scale-agnostic (trained with mixed factors).
+    """
+    if path is None:
+        path = os.path.join(WEIGHTS_DIR, "vdsr.npz")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no shipped VDSR weights ({path}); train them with "
+                f"tools/train_vdsr.py")
+    params, spec = _load_cached(os.path.abspath(path))
+    if dtype != jnp.float32:
+        params = {k: v.astype(dtype) for k, v in params.items()}
+    return params, spec
+
+
+def _conv_same(x, w):
+    kh, kw = w.shape[0], w.shape[1]
+    x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
+                mode="edge")
+    return lax.conv_general_dilated(
+        x, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+
+
+def forward_hr(params: dict, y_hr: jnp.ndarray,
+               spec: VDSRSpec = VDSRSpec(), *, clamp: bool = True):
+    """Interpolated HR Y plane(s) [H, W] or [N, H, W] -> refined, same
+    shape.  ``y + residual`` with the residual net under scan+remat."""
+    squeeze = y_hr.ndim == 2
+    if squeeze:
+        y_hr = y_hr[None]
+    x = y_hr[..., None].astype(params["in_w"].dtype)
+
+    h = jnp.maximum(_conv_same(x, params["in_w"]) + params["in_b"], 0.0)
+
+    @jax.checkpoint
+    def layer(carry, wb):
+        w, b = wb
+        return jnp.maximum(_conv_same(carry, w) + b, 0.0), None
+
+    h, _ = lax.scan(layer, h, (params["mid_w"], params["mid_b"]))
+
+    res = (_conv_same(h, params["out_w"]) + params["out_b"])[..., 0]
+    out = y_hr.astype(jnp.float32) + res.astype(jnp.float32)
+    if clamp:
+        out = jnp.clip(out, 0.0, 255.0)
+    return out[0] if squeeze else out
+
+
+def make_loss_forward(spec: VDSRSpec):
+    """Adapter for :func:`libsrcnn_tpu.train.trainer.loss_fn`: VDSR
+    consumes the ALREADY-INTERPOLATED plane, so training pairs are
+    (interp_y, hr_y) at the SAME size -- build them with
+    tools/train_vdsr.py's mixed-scale pool."""
+    def forward(params, interp_y, clamp=False):
+        return forward_hr(params, interp_y, spec, clamp=clamp)
+
+    return forward

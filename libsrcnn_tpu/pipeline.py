@@ -26,6 +26,11 @@ from .ops import color, resize
 #: ``default_spec()``.
 LR_FAMILIES = ("fsrcnn", "espcn")
 
+#: learned families that, like SRCNN, run AFTER classical interpolation at
+#: high resolution (`forward_hr(params, y_hr, spec)`): one checkpoint
+#: serves every factor, including fractional scales and step-scale chains.
+HR_FAMILIES = ("vdsr",)
+
 
 def _lr_family(name: str):
     import importlib
@@ -42,6 +47,9 @@ def load_model_params(cfg: "SRCNNConfig", scale: float = 2.0) -> dict:
         mod = _lr_family(cfg.model)
         fparams, spec = mod.load_params(
             scale=2 if cfg.step_scale else int(scale))
+        return dict(fparams, __spec__=spec)
+    if cfg.model in HR_FAMILIES:
+        fparams, spec = _lr_family(cfg.model).load_params()
         return dict(fparams, __spec__=spec)
     if cfg.compute_dtype == "int8":
         from .models import srcnn_int8
@@ -64,6 +72,11 @@ def prepare_model_params(cfg: "SRCNNConfig", params: dict, h: int, w: int,
                 f"{spec.scale} exactly; got {multiply} "
                 f"({w}x{h} -> {dst_w}x{dst_h})")
         return params, spec
+    if cfg.model in HR_FAMILIES:
+        mod = _lr_family(cfg.model)
+        spec = params.get("__spec__") or mod.default_spec()
+        params = {k: v for k, v in params.items() if k != "__spec__"}
+        return params, spec  # HR families serve any factor
     if cfg.model != "srcnn":
         raise ValueError(f"unknown model {cfg.model!r}")
     return params, None
@@ -92,6 +105,10 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
     if model in LR_FAMILIES:
         mod = _lr_family(model)
         y_sr = mod.forward_lr(params, planes[0], fsrcnn_spec)
+    elif model in HR_FAMILIES:
+        mod = _lr_family(model)
+        y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
+        y_sr = mod.forward_hr(params, y_r, fsrcnn_spec)
     elif compute_dtype == "int8" and use_pallas:
         from .kernels import fused_conv
 

@@ -38,9 +38,11 @@ def validation_psnr(params, spec):
     img = np.asarray(Image.open(
         "/root/reference/Pictures/butterfly.png").convert("RGB"))
     hr_y = np.asarray(color.rgb_to_ycbcr(jnp.asarray(img))[0])
+    s = spec.scale
+    hr_y = hr_y[:hr_y.shape[0] // s * s, :hr_y.shape[1] // s * s]
     h, w = hr_y.shape
-    lr_y = resize.resize_plane(jnp.asarray(hr_y), h // spec.scale,
-                               w // spec.scale, FilterType.BICUBIC)
+    lr_y = resize.resize_plane(jnp.asarray(hr_y), h // s, w // s,
+                               FilterType.BICUBIC)
     sr = np.asarray(espcn.forward_lr(params, lr_y, spec))
     bic = np.asarray(resize.resize_plane(lr_y, h, w, FilterType.BICUBIC))
     return psnr(sr, hr_y), psnr(np.clip(bic, 0, 255), hr_y)
@@ -55,8 +57,14 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--out", default=os.path.abspath(WEIGHTS_OUT))
+    ap.add_argument("--scale", type=int, default=2,
+                    help="upscale factor (weights file is per-scale)")
+    ap.add_argument("--out", default=None,
+                    help="output npz (default: shipped espcn_x{scale}.npz)")
     args = ap.parse_args(argv)
+    if args.out is None:
+        args.out = os.path.abspath(
+            WEIGHTS_OUT.replace("_x2", f"_x{args.scale}"))
 
     import jax
     import optax
@@ -65,7 +73,7 @@ def main(argv=None) -> int:
     from libsrcnn_tpu.models import espcn
     from libsrcnn_tpu.train import trainer
 
-    spec = espcn.ESPCNSpec(scale=2)
+    spec = espcn.ESPCNSpec(scale=args.scale)
     images = shared.corpus_images()
     print(f"corpus: {len(images)} images "
           f"({sum(i.shape[0] * i.shape[1] for i in images) / 1e6:.2f} MP), "
