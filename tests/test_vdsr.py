@@ -79,6 +79,42 @@ def test_pipeline_serves_any_factor(monkeypatch, tmp_path):
     assert out.dtype == np.uint8
 
 
+def test_gspmd_paths_match_single(monkeypatch, tmp_path):
+    """vdsr through the data-parallel batch and GSPMD spatial paths on the
+    virtual mesh, bit-identical to the single-device pipeline."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsrcnn_tpu import SRCNNConfig, pipeline, upscale
+    from libsrcnn_tpu.models import vdsr
+    from libsrcnn_tpu.parallel import sharding
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    spec = vdsr.VDSRSpec(depth=4, ch=8)
+    params = vdsr.init_params(jax.random.PRNGKey(5), spec)
+    path = tmp_path / "vdsr.npz"
+    np.savez(path, meta_depth=spec.depth, meta_ch=spec.ch,
+             **{k: np.asarray(v) for k, v in params.items()})
+    monkeypatch.setattr(vdsr, "load_params",
+                        lambda scale=None, **kw: vdsr._load_cached(str(path)))
+
+    cfg = SRCNNConfig(model="vdsr")
+    vparams = pipeline.load_model_params(cfg, 2.0)
+
+    imgs = np.random.default_rng(6).integers(0, 256, (4, 16, 16, 3), np.uint8)
+    mesh = make_mesh({"data": 4, "row": 2, "col": 1})
+    out, conv = sharding.upscale_batch(jnp.asarray(imgs), vparams, 2.0,
+                                       cfg, mesh)
+    ref = upscale(imgs[1], 2.0, cfg)
+    np.testing.assert_array_equal(np.asarray(out)[1], ref)
+
+    mesh = make_mesh({"data": 1, "row": 4, "col": 2})
+    img = np.random.default_rng(7).integers(0, 256, (32, 32, 3), np.uint8)
+    out, conv = sharding.upscale_spatial(jnp.asarray(img), vparams, 2.0,
+                                         cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(out), upscale(img, 2.0, cfg))
+
+
 def test_shipped_weights_beat_bicubic_heldout():
     """Quality gate on held-out butterfly once vdsr.npz ships."""
     import os
