@@ -200,7 +200,7 @@ def bench_models(size=1024, scale=2.0):
         rng.integers(0, 256, (size, size, 3), np.uint8)))
     out_mp = (size * scale) ** 2 / 1e6
     print(f"model zoo, {size}^2 -> x{scale} end-to-end:")
-    for model in ("srcnn", "fsrcnn", "espcn"):
+    for model in ("srcnn", "fsrcnn", "espcn", "vdsr"):
         cfg = SRCNNConfig(model=model)
         params = {k: (v if k == "__spec__" else jax.device_put(v))
                   for k, v in pipeline.load_model_params(cfg, scale).items()}

@@ -48,12 +48,15 @@ def evaluate_image(
     from ..api import upscale
     from ..ops import color, resize
 
-    from ..pipeline import LR_FAMILIES
-
-    if model in LR_FAMILIES:
-        # LR families ship per-scale weights and need the factor exact:
-        # crop the ground truth to a multiple of the integer scale
-        s = int(round(scale))
+    # Standard SR protocol: crop the ground truth to a multiple of an
+    # integer scale so the round trip is exact on BOTH dims.  Without the
+    # crop a non-multiple side forces a fractional recovery factor that is
+    # then applied to the other dim too (the pipeline is uniform-scale,
+    # like the reference), leaving the model output sampled on a slightly
+    # different grid than the ground truth -- a misalignment penalty the
+    # interp baseline (resized straight to the target shape) never pays.
+    s = int(round(scale))
+    if s >= 1 and abs(scale - s) < 1e-9:
         scale = float(s)
         hr = hr[:hr.shape[0] // s * s, :hr.shape[1] // s * s]
     h, w = hr.shape[:2]
@@ -70,7 +73,10 @@ def evaluate_image(
 
     exact = float(w) / lw  # recover exactly h x w on the way up
     exact_h = float(h) / lh
-    up_scale = max(exact, exact_h)
+    # +eps: the pipeline truncates sizes through f32 (reference parity,
+    # `test.cpp:653-672` math), so an exact ratio can land one pixel short
+    # (e.g. 106 * f32(427/106) -> 426); the overshoot is cropped below
+    up_scale = max(exact, exact_h) * (1.0 + 1e-6) + 1e-6
 
     srcnn_up = upscale(lr, up_scale,
                        SRCNNConfig(filter=filter_type, model=model))[:h, :w]
@@ -84,6 +90,12 @@ def evaluate_image(
         for c in range(planes_lr.shape[0])
     ])
     interp_up = np.asarray(color.ycbcr_to_rgb(interp))[:h, :w]
+
+    # defensive common-size crop (a short side costs one border row/col
+    # of the comparison, never a crash)
+    ch = min(h, srcnn_up.shape[0], interp_up.shape[0])
+    cw = min(w, srcnn_up.shape[1], interp_up.shape[1])
+    hr, srcnn_up, interp_up = (a[:ch, :cw] for a in (hr, srcnn_up, interp_up))
 
     return EvalResult(
         name=name, scale=scale,

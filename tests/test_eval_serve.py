@@ -29,6 +29,18 @@ def test_srcnn_beats_interp_on_butterfly():
     assert r.ssim_srcnn > 0.8
 
 
+def test_eval_size_truncation_edge():
+    """427 rows at x4: an integer-scale eval must crop to the multiple
+    (grid-aligned round trip) instead of crashing or silently comparing a
+    misaligned fractional upscale; fractional requests stay legal."""
+    img = np.random.default_rng(8).integers(0, 256, (427, 64, 3), np.uint8)
+    r = evaluate_image(img, 4.0, FilterType.BICUBIC, name="edge")
+    r_pre = evaluate_image(img[:424], 4.0, FilterType.BICUBIC, name="pre")
+    assert r.psnr_srcnn == r_pre.psnr_srcnn  # crop == pre-cropped input
+    r_frac = evaluate_image(img, 2.5, FilterType.BICUBIC, name="frac")
+    assert np.isfinite(r_frac.psnr_srcnn) and np.isfinite(r_frac.psnr_interp)
+
+
 def test_eval_dir_and_cli(tmp_path, butterfly, capsys):
     from libsrcnn_tpu.io import save_png
 
