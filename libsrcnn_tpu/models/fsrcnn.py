@@ -115,7 +115,7 @@ def _prelu(x, alpha):
     return jnp.where(x >= 0, x, x * alpha)
 
 
-def _conv_same(x, w):
+def _conv_same(x, w, precision=lax.Precision.HIGHEST):
     kh, kw = w.shape[0], w.shape[1]
     x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
                 mode="edge")
@@ -123,32 +123,88 @@ def _conv_same(x, w):
         x, w, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST)
+        precision=precision)
+
+
+@functools.lru_cache(maxsize=8)
+def _subpixel_plan(k: int, r: int):
+    """Static scatter plan turning a stride-``r`` transposed-conv kernel
+    [k,k,Cin,1] into a stride-1 kernel [L,L,Cin,r*r] whose conv +
+    depth-to-space computes the SAME-padded ``lax.conv_transpose``
+    exactly (same per-pixel terms; order-of-addition differences only).
+
+    Derivation: conv_transpose SAME == lhs_dilated conv with top/left pad
+    ``pa = k-1-(k-r)//2``; output residue d (mod r) only sees kernel taps
+    ``i = i0 + r*t`` with ``i0 = (pa-d) % r``, each reading input offset
+    ``(d+i0-pa)//r + t`` -- a plain stride-1 conv per residue class.
+    Returns (L, P, [(channel, sy, sx, wy, wx)]) tap placements.
+    """
+    pa = k - 1 - (k - r) // 2
+    subs = []
+    for d in range(r):
+        i0 = (pa - d) % r
+        subs.append((i0, (d + i0 - pa) // r, (k - i0 + r - 1) // r))
+    P = max(-o for _, o, _ in subs)
+    L = max(P + o + t for _, o, t in subs)
+    taps = []
+    for dy, (iy, oy, ty) in enumerate(subs):
+        for dx, (ix, ox, tx) in enumerate(subs):
+            for t_y in range(ty):
+                for t_x in range(tx):
+                    taps.append((dy * r + dx, P + oy + t_y, P + ox + t_x,
+                                 iy + r * t_y, ix + r * t_x))
+    return L, P, tuple(taps)
+
+
+def _deconv_subpixel(h, w, r: int, precision):
+    """[N,H,W,Cin] x [k,k,Cin,1] -> [N,H*r,W*r,1], equal to
+    ``lax.conv_transpose(h, w, (r,r), "SAME")`` computed the MXU-friendly
+    way: one dense stride-1 conv emitting the r*r sub-pixel phases,
+    then a depth-to-space reshuffle."""
+    k, cin = w.shape[0], w.shape[2]
+    L, P, taps = _subpixel_plan(k, r)
+    c, sy, sx, wy, wx = (np.asarray(a) for a in zip(*taps))
+    w2 = jnp.zeros((L, L, cin, r * r), w.dtype)
+    w2 = w2.at[sy, sx, :, c].set(w[wy, wx, :, 0])
+    up = lax.conv_general_dilated(
+        h, w2, (1, 1), [(P, L - 1 - P)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision)
+    n, hh, ww, _ = up.shape
+    up = up.reshape(n, hh, ww, r, r).transpose(0, 1, 3, 2, 4)
+    return up.reshape(n, hh * r, ww * r, 1)
 
 
 def forward_lr(params: dict, lr_y: jnp.ndarray,
-               spec: FSRCNNSpec = FSRCNNSpec(), *, clamp: bool = True):
-    """LR Y plane(s) [H, W] or [N, H, W] -> HR [scale*H, scale*W]."""
+               spec: FSRCNNSpec = FSRCNNSpec(), *, clamp: bool = True,
+               precision=lax.Precision.HIGHEST):
+    """LR Y plane(s) [H, W] or [N, H, W] -> HR [scale*H, scale*W].
+
+    ``precision``: HIGHEST = exact multi-pass f32 (default); DEFAULT =
+    single-pass bf16 MXU throughput tier."""
     squeeze = lr_y.ndim == 2
     if squeeze:
         lr_y = lr_y[None]
     x = lr_y[..., None].astype(params["feat_w"].dtype)
 
-    h = _prelu(_conv_same(x, params["feat_w"]) + params["feat_b"],
+    h = _prelu(_conv_same(x, params["feat_w"], precision) + params["feat_b"],
                params["feat_a"])
-    h = _prelu(_conv_same(h, params["shrink_w"]) + params["shrink_b"],
-               params["shrink_a"])
+    h = _prelu(_conv_same(h, params["shrink_w"], precision)
+               + params["shrink_b"], params["shrink_a"])
     for i in range(spec.m):
-        h = _prelu(_conv_same(h, params[f"map{i}_w"]) + params[f"map{i}_b"],
-                   params[f"map{i}_a"])
-    h = _prelu(_conv_same(h, params["expand_w"]) + params["expand_b"],
-               params["expand_a"])
+        h = _prelu(_conv_same(h, params[f"map{i}_w"], precision)
+                   + params[f"map{i}_b"], params[f"map{i}_a"])
+    h = _prelu(_conv_same(h, params["expand_w"], precision)
+               + params["expand_b"], params["expand_a"])
 
-    # learned upscale: transposed conv, stride = scale, SAME-style output
-    up = lax.conv_transpose(
-        h, params["deconv_w"], (spec.scale, spec.scale), "SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST)
+    # learned upscale: transposed conv, stride = scale, SAME-style output.
+    # Computed as its sub-pixel equivalent (stride-1 conv emitting scale^2
+    # channels + depth-to-space): XLA lowers `lax.conv_transpose` through
+    # input dilation, which runs ~25x slower on the TPU MXU than the
+    # dense reformulation (measured 1342 -> 53 ms at 1024^2-in, see
+    # PERF.md "FSRCNN deconv"); the two are the same per-pixel sums.
+    up = _deconv_subpixel(h, params["deconv_w"], spec.scale, precision)
     out = (up + params["deconv_b"])[..., 0].astype(jnp.float32)
     if clamp:
         out = jnp.clip(out, 0.0, 255.0)

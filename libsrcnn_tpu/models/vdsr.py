@@ -107,7 +107,7 @@ def load_params(scale: int | None = None, path: str | None = None,
     return params, spec
 
 
-def _conv_same(x, w):
+def _conv_same(x, w, precision=lax.Precision.HIGHEST):
     kh, kw = w.shape[0], w.shape[1]
     x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
                 mode="edge")
@@ -115,28 +115,39 @@ def _conv_same(x, w):
         x, w, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
-        precision=lax.Precision.HIGHEST)
+        precision=precision)
 
 
 def forward_hr(params: dict, y_hr: jnp.ndarray,
-               spec: VDSRSpec = VDSRSpec(), *, clamp: bool = True):
+               spec: VDSRSpec = VDSRSpec(), *, clamp: bool = True,
+               precision=lax.Precision.HIGHEST):
     """Interpolated HR Y plane(s) [H, W] or [N, H, W] -> refined, same
-    shape.  ``y + residual`` with the residual net under scan+remat."""
+    shape.  ``y + residual`` with the residual net under scan+remat.
+
+    ``precision`` sets the MXU algorithm for every conv: HIGHEST (default)
+    is multi-pass exact f32; DEFAULT is single-pass bf16 multiplies with
+    f32 accumulation -- the throughput tier (quality delta measured in
+    EVAL.md; there is no u8 golden gate on this family)."""
     squeeze = y_hr.ndim == 2
     if squeeze:
         y_hr = y_hr[None]
     x = y_hr[..., None].astype(params["in_w"].dtype)
 
-    h = jnp.maximum(_conv_same(x, params["in_w"]) + params["in_b"], 0.0)
+    # Measured non-win, kept out (PERF.md "VDSR roofline"): storing the
+    # inter-layer activations in bf16 changes nothing on-chip -- the
+    # stack is MXU-LANE-bound (ch=32 of 128 output lanes), not
+    # HBM-bound, so the f32 carries stay for exact tier parity.
+    h = jnp.maximum(_conv_same(x, params["in_w"], precision)
+                    + params["in_b"], 0.0)
 
     @jax.checkpoint
     def layer(carry, wb):
         w, b = wb
-        return jnp.maximum(_conv_same(carry, w) + b, 0.0), None
+        return jnp.maximum(_conv_same(carry, w, precision) + b, 0.0), None
 
     h, _ = lax.scan(layer, h, (params["mid_w"], params["mid_b"]))
 
-    res = (_conv_same(h, params["out_w"]) + params["out_b"])[..., 0]
+    res = (_conv_same(h, params["out_w"], precision) + params["out_b"])[..., 0]
     out = y_hr.astype(jnp.float32) + res.astype(jnp.float32)
     if clamp:
         out = jnp.clip(out, 0.0, 255.0)

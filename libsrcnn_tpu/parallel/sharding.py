@@ -31,11 +31,11 @@ from .. import pipeline
 
 @functools.lru_cache(maxsize=64)
 def _batch_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh,
-              model="srcnn", spec=None):
+              model="srcnn", spec=None, compute_dtype="float32"):
     body = functools.partial(
         pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
         filter_type=filter_type, use_pallas=use_pallas,
-        model=model, fsrcnn_spec=spec,
+        compute_dtype=compute_dtype, model=model, fsrcnn_spec=spec,
     )
     vbody = jax.vmap(body, in_axes=(0, None))
     # shard_map, not GSPMD annotations: each device runs the full per-frame
@@ -66,18 +66,18 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
                                                  dst_h, dst_w, multiply)
     fn = _batch_fn(h, w, d, dst_h, dst_w, int(cfg.filter),
                    pipeline.resolve_pallas(cfg.use_pallas), mesh,
-                   cfg.model, spec)
+                   cfg.model, spec, cfg.compute_dtype)
     return fn(images, params)
 
 
 @functools.lru_cache(maxsize=64)
 def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, mesh,
-                model="srcnn", spec=None):
+                model="srcnn", spec=None, compute_dtype="float32"):
     def body(img, params):
         out, conv = pipeline._single_pass(
             img, params, dst_h=dst_h, dst_w=dst_w,
             filter_type=filter_type, use_pallas=False,
-            model=model, fsrcnn_spec=spec,
+            compute_dtype=compute_dtype, model=model, fsrcnn_spec=spec,
         )
         spatial = NamedSharding(mesh, P("row", "col"))
         out = jax.lax.with_sharding_constraint(
@@ -111,5 +111,5 @@ def upscale_spatial(image, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh
     params, spec = pipeline.prepare_model_params(cfg, params, h, w,
                                                  dst_h, dst_w, multiply)
     fn = _spatial_fn(h, w, d, dst_h, dst_w, int(cfg.filter), mesh,
-                     cfg.model, spec)
+                     cfg.model, spec, cfg.compute_dtype)
     return fn(image, params)

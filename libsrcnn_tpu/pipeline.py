@@ -38,11 +38,26 @@ def _lr_family(name: str):
     return importlib.import_module(f".models.{name}", __package__)
 
 
+def family_precision(compute_dtype: str):
+    """MXU dot algorithm for the learned model families (which have no u8
+    golden gate): exact multi-pass f32, or single-pass bf16 throughput."""
+    if compute_dtype == "float32":
+        return jax.lax.Precision.HIGHEST
+    if compute_dtype == "bfloat16":
+        return jax.lax.Precision.DEFAULT
+    raise ValueError(
+        f"compute_dtype={compute_dtype!r} is only supported by the srcnn "
+        f"model; the fsrcnn/espcn/vdsr families take 'float32' or "
+        f"'bfloat16'")
+
+
 def load_model_params(cfg: "SRCNNConfig", scale: float = 2.0) -> dict:
     """Default parameters for ``cfg.model``: the pre-trained SRCNN 9-1-5
     weights, or an LR family's shipped checkpoint (with its spec attached
     under ``"__spec__"``).  Step-scale chains x2 passes, so x2 weights
     serve any factor there."""
+    if cfg.model != "srcnn":
+        family_precision(cfg.compute_dtype)  # reject int8 etc. up front
     if cfg.model in LR_FAMILIES:
         mod = _lr_family(cfg.model)
         fparams, spec = mod.load_params(
@@ -104,11 +119,13 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
 
     if model in LR_FAMILIES:
         mod = _lr_family(model)
-        y_sr = mod.forward_lr(params, planes[0], fsrcnn_spec)
+        y_sr = mod.forward_lr(params, planes[0], fsrcnn_spec,
+                              precision=family_precision(compute_dtype))
     elif model in HR_FAMILIES:
         mod = _lr_family(model)
         y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
-        y_sr = mod.forward_hr(params, y_r, fsrcnn_spec)
+        y_sr = mod.forward_hr(params, y_r, fsrcnn_spec,
+                              precision=family_precision(compute_dtype))
     elif compute_dtype == "int8" and use_pallas:
         from .kernels import fused_conv
 

@@ -65,3 +65,31 @@ def test_eval_runner_model_crop():
     r = evaluate_image(img, 2.0, name="odd", model="fsrcnn")
     assert np.isfinite(r.psnr_srcnn) and np.isfinite(r.psnr_interp)
     assert 0.0 <= r.ssim_srcnn <= 1.0
+
+
+@pytest.mark.parametrize("family", ["fsrcnn", "espcn", "vdsr"])
+def test_bfloat16_compute_tier(family):
+    """compute_dtype="bfloat16" routes the family convs through
+    Precision.DEFAULT (single-pass bf16 MXU on TPU).  On the CPU backend
+    DEFAULT is still exact f32, so the output must match the f32 tier
+    bit-for-bit -- this pins the plumbing; on-chip throughput/quality
+    numbers are in PERF.md/EVAL.md."""
+    from libsrcnn_tpu import SRCNNConfig, upscale
+
+    if family != "vdsr":
+        _load(family, 2)
+    img = np.random.default_rng(11).integers(0, 256, (20, 16, 3), np.uint8)
+    a = upscale(img, 2.0, SRCNNConfig(model=family))
+    b = upscale(img, 2.0, SRCNNConfig(model=family,
+                                      compute_dtype="bfloat16"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_int8_rejected_for_families():
+    """The int8 draft tier is srcnn-only; families must reject it with a
+    clear error instead of silently running f32."""
+    from libsrcnn_tpu import SRCNNConfig, upscale
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="int8"):
+        upscale(img, 2.0, SRCNNConfig(model="vdsr", compute_dtype="int8"))
