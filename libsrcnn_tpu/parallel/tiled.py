@@ -142,10 +142,20 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
     mesh axis sizes, and per-shard tiles must exceed the halo widths.
     Returns (out_u8 [H', W', D], conv_u8 [H', W']) with values identical to
     the single-chip pipeline.
+
+    srcnn-family only: the staged halo plan is sized for the 9-1-5 stack
+    (4+2 px).  The learned families go multi-chip through
+    :func:`..parallel.sharding.upscale_spatial` (GSPMD inserts their
+    halo collectives) or ``upscale_batch``.
     """
     from ..ops.resize import scaled_size
     from ..pipeline import resolve_pallas
 
+    if cfg.model != "srcnn":
+        raise ValueError(
+            f"upscale_tiled implements the srcnn 9-1-5 halo plan; "
+            f"model={cfg.model!r} goes multi-chip via "
+            f"sharding.upscale_spatial / upscale_batch")
     h, w, d = image.shape
     rows, cols = mesh.shape["row"], mesh.shape["col"]
     dst_w, dst_h = scaled_size(w, h, multiply)

@@ -62,3 +62,20 @@ def test_tiled_validates_divisibility(params, img):
     mesh = make_mesh({"data": 1, "row": 8, "col": 1})
     with pytest.raises(ValueError):
         upscale_tiled(img[:60], params, 2.0, SRCNNConfig(), mesh)  # 60 % 8 != 0
+
+
+def test_tiled_rejects_model_families():
+    """upscale_tiled's staged halo plan is sized for the 9-1-5 stack;
+    family configs must get a clear error pointing at the GSPMD paths,
+    never a silent mis-run over mismatched params."""
+    import jax
+    import pytest
+
+    from libsrcnn_tpu import SRCNNConfig
+    from libsrcnn_tpu.parallel import upscale_tiled
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"data": 1, "row": 2, "col": 1}, jax.devices()[:2])
+    img = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="upscale_spatial"):
+        upscale_tiled(img, {}, 2.0, SRCNNConfig(model="vdsr"), mesh)

@@ -93,3 +93,20 @@ def test_int8_rejected_for_families():
     img = np.zeros((8, 8, 3), np.uint8)
     with pytest.raises(ValueError, match="int8"):
         upscale(img, 2.0, SRCNNConfig(model="vdsr", compute_dtype="int8"))
+
+
+def test_step_scale_family_contract():
+    """Step-scale (`libsrcnn.cpp:980-1061` semantics) with the zoo: the
+    LR families chain their x2 heads for power-of-two factors; a
+    fractional remainder pass must raise the exact-scale error (never
+    silently switch models); the scale-agnostic vdsr serves any chain."""
+    from libsrcnn_tpu import SRCNNConfig, upscale
+
+    _load("fsrcnn", 2)
+    img = np.random.default_rng(12).integers(0, 256, (20, 16, 3), np.uint8)
+    out = upscale(img, 4.0, SRCNNConfig(model="fsrcnn", step_scale=True))
+    assert out.shape == (80, 64, 3)
+    with pytest.raises(ValueError, match="scale 2 exactly"):
+        upscale(img, 5.0, SRCNNConfig(model="fsrcnn", step_scale=True))
+    out = upscale(img, 5.0, SRCNNConfig(model="vdsr", step_scale=True))
+    assert out.shape == (100, 80, 3)

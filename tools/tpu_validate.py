@@ -7,9 +7,12 @@ chip's compiled kernels end-to-end.
 Usage: python tools/tpu_validate.py [N]   # first N configs (default all)
 """
 
+import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from libsrcnn_tpu import FilterType, SRCNNConfig, upscale
 from libsrcnn_tpu.eval import psnr, ssim
