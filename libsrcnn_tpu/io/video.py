@@ -103,7 +103,7 @@ def main(argv=None) -> int:
             dst = arg
     if src is None:
         raise SystemExit("usage: srcnn-tpu-video <in.gif> [out.gif] "
-                         "--scale=F --model=srcnn|fsrcnn|espcn "
+                         "--scale=F --model=srcnn|fsrcnn|espcn|vdsr "
                          "--filter=0..4 --batch=N --bf16")
     if dst is None:
         # keep the source container for animations (_auto_name picks .png,

@@ -160,8 +160,18 @@ def _deconv_subpixel(h, w, r: int, precision):
     """[N,H,W,Cin] x [k,k,Cin,1] -> [N,H*r,W*r,1], equal to
     ``lax.conv_transpose(h, w, (r,r), "SAME")`` computed the MXU-friendly
     way: one dense stride-1 conv emitting the r*r sub-pixel phases,
-    then a depth-to-space reshuffle."""
+    then a depth-to-space reshuffle.  The plan derivation assumes every
+    output phase sees at least one kernel tap (k >= r); a hypothetical
+    head with stride beyond its kernel falls back to the slow-but-correct
+    lowering rather than silently diverging."""
+    from .espcn import pixel_shuffle
+
     k, cin = w.shape[0], w.shape[2]
+    if k < r:
+        return lax.conv_transpose(
+            h, w, (r, r), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision)
     L, P, taps = _subpixel_plan(k, r)
     c, sy, sx, wy, wx = (np.asarray(a) for a in zip(*taps))
     w2 = jnp.zeros((L, L, cin, r * r), w.dtype)
@@ -171,9 +181,7 @@ def _deconv_subpixel(h, w, r: int, precision):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
         precision=precision)
-    n, hh, ww, _ = up.shape
-    up = up.reshape(n, hh, ww, r, r).transpose(0, 1, 3, 2, 4)
-    return up.reshape(n, hh * r, ww * r, 1)
+    return pixel_shuffle(up, r)[..., None]
 
 
 def forward_lr(params: dict, lr_y: jnp.ndarray,
@@ -201,9 +209,10 @@ def forward_lr(params: dict, lr_y: jnp.ndarray,
     # learned upscale: transposed conv, stride = scale, SAME-style output.
     # Computed as its sub-pixel equivalent (stride-1 conv emitting scale^2
     # channels + depth-to-space): XLA lowers `lax.conv_transpose` through
-    # input dilation, which runs ~25x slower on the TPU MXU than the
-    # dense reformulation (measured 1342 -> 53 ms at 1024^2-in, see
-    # PERF.md "FSRCNN deconv"); the two are the same per-pixel sums.
+    # input dilation, which runs ~16x slower on the TPU conv engine than
+    # the dense reformulation (measured 1342 -> 85 ms end-to-end at
+    # 1024^2-in, PERF.md "FSRCNN deconv"); the two are the same
+    # per-pixel sums.
     up = _deconv_subpixel(h, params["deconv_w"], spec.scale, precision)
     out = (up + params["deconv_b"])[..., 0].astype(jnp.float32)
     if clamp:
