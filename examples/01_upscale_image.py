@@ -3,7 +3,10 @@
 Usage: python examples/01_upscale_image.py [image.png] [scale]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -4,6 +4,11 @@ Simulates a 24-frame clip; with the native library built (`make -C native`)
 a producer thread feeds a lock-free ring like a real decoder would.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import threading
 import time
 

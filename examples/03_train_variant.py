@@ -1,6 +1,11 @@
 """Train a custom SRCNN-family variant and compare against the pre-trained
 9-1-5 on a held-out crop."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import functools
 
 import numpy as np

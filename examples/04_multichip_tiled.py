@@ -9,6 +9,11 @@ virtual CPU mesh:
       python examples/04_multichip_tiled.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 

@@ -7,6 +7,11 @@ ship x2 weights trained by tools/train_{fsrcnn,espcn}.py with the
 framework's own degradation model.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

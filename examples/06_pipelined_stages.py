@@ -13,6 +13,11 @@ virtual CPU mesh:
       python examples/06_pipelined_stages.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 
