@@ -185,6 +185,31 @@ def bench_batch_device(scale=2.0, sizes=(256, 512), batches=(1, 4, 8, 16)):
             print(f"  {size:4d}^2 batch {b:2d}: {ms:8.1f} ms/clip  "
                   f"{mp / (ms / 1e3):8.1f} MP/s")
 
+    # the zoo families in the same batched-serving scenario (bf16
+    # throughput tier -- their serving mode; vdsr is the case that
+    # matters, clip upscaling is where its quality tier gets used)
+    from libsrcnn_tpu import pipeline
+
+    size, b = 512, 8
+    print(f"  zoo families @{size}^2 batch {b} (bf16 tier):")
+    for model in ("fsrcnn", "espcn", "vdsr"):
+        mcfg = SRCNNConfig(model=model, compute_dtype="bfloat16")
+        mparams = {k: (v if k == "__spec__" else jax.device_put(v))
+                   for k, v in pipeline.load_model_params(mcfg, scale).items()}
+        clips = [jax.device_put(jnp.asarray(rng.integers(
+            0, 256, (b, size, size, 3), np.uint8))) for _ in range(4)]
+
+        def run_fam():
+            last = None
+            for c in clips:
+                last = serve._batch_pass(c, mparams, scale, mcfg)
+            return last
+
+        ms = _time(run_fam, n=4) / len(clips)
+        mp = b * (size * scale) ** 2 / 1e6
+        print(f"    {model:8s}: {ms:8.1f} ms/clip  "
+              f"{mp / (ms / 1e3):8.1f} MP/s")
+
 
 def bench_models(size=1024, scale=2.0):
     """Model-zoo throughput: the three families end-to-end at the same

@@ -46,9 +46,11 @@ class SRCNNConfig:
         u8 round-trip between passes, mirroring `libsrcnn.cpp:980-1061`.
       compute_dtype: dtype for the conv stack on device.  ``float32`` matches
         the reference closely; ``bfloat16`` trades ~1 u8 LSB of precision for
-        MXU throughput; ``int8`` (srcnn model only) is the quantized draft
-        tier -- the v5e MXU runs int8 at 2x the bf16 rate; quality vs the
-        exact path is ~40 dB PSNR (see PERF.md and models/srcnn_int8.py).
+        MXU throughput (for the learned model families it selects
+        single-pass bf16 convs -- 1.9-2.8x, quality deltas in PERF.md);
+        ``int8`` (srcnn model only) is the quantized draft tier -- the
+        v5e MXU runs int8 at 2x the bf16 rate; quality vs the exact path
+        is ~40 dB PSNR (see PERF.md and models/srcnn_int8.py).
       emit_conv_map: also return the raw Y-channel conv3 output as u8
         (`libsrcnn.cpp:889-915`).
       use_pallas: route the conv stack through the fused Pallas kernel.
@@ -60,8 +62,12 @@ class SRCNNConfig:
         plane.  ``"fsrcnn"`` (features at LOW resolution, learned deconv
         upscale) and ``"espcn"`` (LOW-resolution stack + sub-pixel
         convolution / pixel shuffle) are beyond-reference families with
-        shipped x2 weights (tools/train_fsrcnn.py / train_espcn.py); both
-        require the scale to equal the trained model's integer factor.
+        shipped x2/x3/x4 heads (tools/train_fsrcnn.py / train_espcn.py);
+        both require the scale to equal a trained head's integer factor.
+        ``"vdsr"`` (deep residual stack on the pre-interpolated plane,
+        tools/train_vdsr.py) ships one scale-agnostic checkpoint serving
+        any factor, including fractional and step-scale chains -- the
+        zoo's strongest quality tier (EVAL.md).
     """
 
     filter: FilterType = FilterType.BICUBIC
