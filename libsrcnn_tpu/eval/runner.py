@@ -40,9 +40,13 @@ class EvalResult:
 def evaluate_image(
     hr: np.ndarray, scale: float = 2.0,
     filter_type: FilterType = FilterType.BICUBIC, name: str = "",
-    model: str = "srcnn",
+    model: str = "srcnn", step_scale: bool = False,
 ) -> EvalResult:
-    """Downscale ``hr`` by 1/scale, upscale back both ways, compare."""
+    """Downscale ``hr`` by 1/scale, upscale back both ways, compare.
+
+    ``step_scale`` evaluates the reference's chained-x2 mode
+    (`libsrcnn.cpp:980-1061`) -- its own recipe for factors beyond the
+    x2 the SRCNN weights were trained for."""
     import jax.numpy as jnp
 
     from ..api import upscale
@@ -79,7 +83,8 @@ def evaluate_image(
     up_scale = max(exact, exact_h) * (1.0 + 1e-6) + 1e-6
 
     srcnn_up = upscale(lr, up_scale,
-                       SRCNNConfig(filter=filter_type, model=model))[:h, :w]
+                       SRCNNConfig(filter=filter_type, model=model,
+                                   step_scale=step_scale))[:h, :w]
 
     planes_lr = color.rgb_to_ycbcr(jnp.asarray(lr))
     interp = jnp.stack([
@@ -106,7 +111,8 @@ def evaluate_image(
 
 def evaluate_dir(path: str, scale: float = 2.0,
                  filter_type: FilterType = FilterType.BICUBIC,
-                 model: str = "srcnn") -> list[EvalResult]:
+                 model: str = "srcnn",
+                 step_scale: bool = False) -> list[EvalResult]:
     from ..io import load_image
 
     if os.path.isfile(path):
@@ -119,7 +125,8 @@ def evaluate_dir(path: str, scale: float = 2.0,
     for f in files:
         img = load_image(f)[..., :3]
         results.append(evaluate_image(img, scale, filter_type,
-                                      name=os.path.basename(f), model=model))
+                                      name=os.path.basename(f), model=model,
+                                      step_scale=step_scale))
     return results
 
 
@@ -127,6 +134,8 @@ def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     scale = 2.0
     ft = FilterType.BICUBIC
+    model = "srcnn"
+    step = False
     path = None
     for a in argv:
         if a.startswith("--scale="):
@@ -134,13 +143,18 @@ def main(argv: list[str] | None = None) -> int:
         elif a.startswith("--filter="):
             v = a[9:]
             ft = FilterType[v.upper()] if not v.isdigit() else FilterType(int(v))
+        elif a.startswith("--model="):
+            model = a[8:]
+        elif a == "--step":
+            step = True
         else:
             path = a
     if path is None:
         raise SystemExit("usage: python -m libsrcnn_tpu.eval.runner <dir|image> "
-                         "[--scale=F] [--filter=name|0-4]")
+                         "[--scale=F] [--filter=name|0-4] "
+                         "[--model=srcnn|fsrcnn|espcn|vdsr] [--step]")
 
-    results = evaluate_dir(path, scale, ft)
+    results = evaluate_dir(path, scale, ft, model, step)
     print(f"{'image':24s} {'interp PSNR/SSIM':>20s} {'SRCNN PSNR/SSIM':>20s} {'gain':>7s}")
     for r in results:
         print(f"{r.name:24s} {r.psnr_interp:9.2f}/{r.ssim_interp:.4f} "

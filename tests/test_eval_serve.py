@@ -215,3 +215,16 @@ def test_train_cli_with_mesh(tmp_path, butterfly):
     import os
 
     assert os.path.exists(ck)
+
+
+def test_eval_step_scale_mode():
+    """The eval runner can score the reference's chained-x2 step-scale
+    recipe; at x4 it must produce a finite, different result from the
+    single-pass row (they share the interp baseline)."""
+    img = np.random.default_rng(13).integers(0, 256, (64, 48, 3), np.uint8)
+    a = evaluate_image(img, 4.0, FilterType.BICUBIC, name="p")
+    b = evaluate_image(img, 4.0, FilterType.BICUBIC, name="s",
+                       step_scale=True)
+    assert np.isfinite(b.psnr_srcnn)
+    assert b.psnr_interp == a.psnr_interp
+    assert b.psnr_srcnn != a.psnr_srcnn
