@@ -81,6 +81,10 @@ def upscale(
     if float(scale) <= 0.0 or min(scaled_size(w, h, scale)) <= 0:
         raise ValueError(f"invalid scale factor {scale}")
 
+    if config.self_ensemble:
+        out, conv = _upscale_flip_ensemble(img, scale, config, params)
+        return (out, conv) if want_conv else out
+
     if not config.step_scale:
         out, conv = pipeline.run_pass(img, params, float(scale), config)
         out, conv = np.asarray(out), np.asarray(conv)
@@ -112,6 +116,44 @@ def upscale(
     out = np.asarray(out) if out is not None else img.copy()
     conv = np.asarray(conv) if conv is not None else None
     return (out, conv) if want_conv else out
+
+
+def _upscale_flip_ensemble(img, scale, config, params):
+    """Flip self-ensemble: the 4 flip variants of ``img`` through the
+    pipeline, outputs unflipped and averaged in f32 before the u8 cast.
+
+    The non-step path batches all 4 variants into ONE vmapped device
+    dispatch (`serve._batch_pass` -- the MXU sees a batch, not 4 calls);
+    step-scale chains go through the scalar path per variant.  Flips
+    only (no transposes): 90-degree rotations swap H/W and would need a
+    second set of resize tables for non-square frames.
+    """
+    base = dataclasses.replace(config, self_ensemble=False)
+    flips = ((False, False), (False, True), (True, False), (True, True))
+
+    def flip(a, fy, fx):
+        return a[::-1] if fy and not fx else (
+            a[:, ::-1] if fx and not fy else (
+                a[::-1, ::-1] if fy and fx else a))
+
+    variants = np.stack([np.ascontiguousarray(flip(img, fy, fx))
+                         for fy, fx in flips])
+    if base.step_scale:
+        res = [upscale(v, scale, base, params, True) for v in variants]
+        outs, convs = [o for o, _ in res], [c for _, c in res]
+    else:
+        from . import serve
+
+        ob, cb = serve._batch_pass(variants, params, float(scale), base)
+        outs, convs = list(np.asarray(ob)), list(np.asarray(cb))
+
+    out = np.rint(np.mean(
+        [flip(o, fy, fx).astype(np.float32)
+         for (fy, fx), o in zip(flips, outs)], axis=0)).astype(np.uint8)
+    conv = np.rint(np.mean(
+        [flip(c, fy, fx).astype(np.float32)
+         for (fy, fx), c in zip(flips, convs)], axis=0)).astype(np.uint8)
+    return out, conv
 
 
 def debug_intermediates(

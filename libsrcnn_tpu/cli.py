@@ -48,6 +48,7 @@ def parse_args(argv: list[str]):
     scale = 2.0
     filter_type = FilterType.BICUBIC
     step = False
+    ensemble = False
     use_pallas = None  # auto: pallas on TPU, XLA elsewhere
     model = "srcnn"
     dtype = "float32"
@@ -72,6 +73,8 @@ def parse_args(argv: list[str]):
                     filter_type = FilterType.BICUBIC  # `test.cpp:353` default
         elif arg.startswith("--step"):
             step = True
+        elif arg == "--ensemble":
+            ensemble = True  # flip self-ensemble: 4x compute, free quality
         elif arg == "--no-pallas":
             use_pallas = False
         elif arg.startswith("--pallas"):
@@ -101,7 +104,8 @@ def parse_args(argv: list[str]):
         raise SystemExit(
             "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
             "--scale=F --filter=0..4|name --step --pallas|--no-pallas "
-            "--model=srcnn|fsrcnn|espcn|vdsr --bf16 --int8 --repeat=N "
+            "--model=srcnn|fsrcnn|espcn|vdsr --ensemble --bf16 --int8 "
+            "--repeat=N "
             "--debug-dir=DIR"
         )
     if file_dst is None:
@@ -110,7 +114,7 @@ def parse_args(argv: list[str]):
 
     cfg = SRCNNConfig(filter=filter_type, step_scale=step,
                       use_pallas=use_pallas, compute_dtype=dtype,
-                      model=model)
+                      model=model, self_ensemble=ensemble)
     return file_src, file_dst, file_conv, scale, cfg, repeat, debug_dir
 
 

@@ -51,6 +51,14 @@ class SRCNNConfig:
         ``int8`` (srcnn model only) is the quantized draft tier -- the
         v5e MXU runs int8 at 2x the bf16 rate; quality vs the exact path
         is ~40 dB PSNR (see PERF.md and models/srcnn_int8.py).
+      self_ensemble: flip self-ensemble (Timofte et al., CVPR 2016
+        enhanced-prediction trick): run the pipeline on the 4 flip
+        variants of the input in ONE vmapped device dispatch, unflip and
+        average the outputs in f32 before the u8 cast.  Trades 4x compute
+        for a free quality bump on every model family (measured in
+        EVAL.md) -- the TPU-idiomatic trade, since the variants batch
+        onto the MXU.  Off by default; the golden parity gate applies
+        only to the non-ensemble path.
       emit_conv_map: also return the raw Y-channel conv3 output as u8
         (`libsrcnn.cpp:889-915`).
       use_pallas: route the conv stack through the fused Pallas kernel.
@@ -73,6 +81,7 @@ class SRCNNConfig:
     filter: FilterType = FilterType.BICUBIC
     step_scale: bool = False
     compute_dtype: str = "float32"
+    self_ensemble: bool = False
     emit_conv_map: bool = False
     use_pallas: bool | None = None
     model: str = "srcnn"

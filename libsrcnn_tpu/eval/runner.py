@@ -41,12 +41,15 @@ def evaluate_image(
     hr: np.ndarray, scale: float = 2.0,
     filter_type: FilterType = FilterType.BICUBIC, name: str = "",
     model: str = "srcnn", step_scale: bool = False,
+    self_ensemble: bool = False,
 ) -> EvalResult:
     """Downscale ``hr`` by 1/scale, upscale back both ways, compare.
 
     ``step_scale`` evaluates the reference's chained-x2 mode
     (`libsrcnn.cpp:980-1061`) -- its own recipe for factors beyond the
-    x2 the SRCNN weights were trained for."""
+    x2 the SRCNN weights were trained for.  ``self_ensemble`` scores the
+    flip-ensemble tier (4 flip variants in one batched dispatch,
+    averaged)."""
     import jax.numpy as jnp
 
     from ..api import upscale
@@ -84,7 +87,8 @@ def evaluate_image(
 
     srcnn_up = upscale(lr, up_scale,
                        SRCNNConfig(filter=filter_type, model=model,
-                                   step_scale=step_scale))[:h, :w]
+                                   step_scale=step_scale,
+                                   self_ensemble=self_ensemble))[:h, :w]
 
     planes_lr = color.rgb_to_ycbcr(jnp.asarray(lr))
     interp = jnp.stack([

@@ -228,3 +228,40 @@ def test_eval_step_scale_mode():
     assert np.isfinite(b.psnr_srcnn)
     assert b.psnr_interp == a.psnr_interp
     assert b.psnr_srcnn != a.psnr_srcnn
+
+
+def test_self_ensemble_identity_on_constant_input():
+    """A constant image is invariant under flips AND under the resampler
+    (whose half-pixel center convention is otherwise not
+    flip-equivariant), so all 4 ensemble variants are identical and the
+    average must equal the plain output exactly -- pins the flip/unflip
+    bookkeeping (a sign error would shift pixels and break equality on
+    the conv map's border response)."""
+    from libsrcnn_tpu import SRCNNConfig, upscale
+
+    img = np.full((14, 10, 3), 137, np.uint8)
+    a, ca = upscale(img, 2.0, return_conv_map=True)
+    b, cb = upscale(img, 2.0, SRCNNConfig(self_ensemble=True),
+                    return_conv_map=True)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(ca, cb)
+
+
+def test_self_ensemble_improves_butterfly(butterfly):
+    """The flip ensemble must beat the plain pass on the held-out
+    butterfly (measured +2.8 dB for srcnn; assert a safe margin)."""
+    from libsrcnn_tpu import SRCNNConfig
+    from libsrcnn_tpu.eval.runner import evaluate_image
+
+    a = evaluate_image(butterfly, 2.0, FilterType.BICUBIC, name="p")
+    b = evaluate_image(butterfly, 2.0, FilterType.BICUBIC, name="e",
+                       self_ensemble=True)
+    assert b.psnr_srcnn > a.psnr_srcnn + 1.0
+
+
+def test_self_ensemble_step_scale_path():
+    from libsrcnn_tpu import SRCNNConfig, upscale
+
+    img = np.random.default_rng(15).integers(0, 256, (12, 10, 3), np.uint8)
+    out = upscale(img, 4.0, SRCNNConfig(self_ensemble=True, step_scale=True))
+    assert out.shape == (48, 40, 3) and out.dtype == np.uint8
