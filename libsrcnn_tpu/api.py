@@ -129,6 +129,16 @@ def _upscale_flip_ensemble(img, scale, config, params):
     second set of resize tables for non-square frames.
     """
     base = dataclasses.replace(config, self_ensemble=False)
+    if not base.step_scale:
+        # flips, pipeline x4, unflip, average -- all inside ONE jitted
+        # device program (serve._ensemble_pass)
+        from . import serve
+
+        out, conv = serve._ensemble_pass(img, params, float(scale), base)
+        return np.asarray(out), np.asarray(conv)
+
+    # step-scale chains go through the scalar path per variant; the
+    # average happens host-side on the final u8 outputs
     flips = ((False, False), (False, True), (True, False), (True, True))
 
     def flip(a, fy, fx):
@@ -136,16 +146,9 @@ def _upscale_flip_ensemble(img, scale, config, params):
             a[:, ::-1] if fx and not fy else (
                 a[::-1, ::-1] if fy and fx else a))
 
-    variants = np.stack([np.ascontiguousarray(flip(img, fy, fx))
-                         for fy, fx in flips])
-    if base.step_scale:
-        res = [upscale(v, scale, base, params, True) for v in variants]
-        outs, convs = [o for o, _ in res], [c for _, c in res]
-    else:
-        from . import serve
-
-        ob, cb = serve._batch_pass(variants, params, float(scale), base)
-        outs, convs = list(np.asarray(ob)), list(np.asarray(cb))
+    res = [upscale(np.ascontiguousarray(flip(img, fy, fx)), scale, base,
+                   params, True) for fy, fx in flips]
+    outs, convs = [o for o, _ in res], [c for _, c in res]
 
     out = np.rint(np.mean(
         [flip(o, fy, fx).astype(np.float32)

@@ -57,6 +57,10 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
     Returns (out [N,H',W',D] u8, conv [N,H',W'] u8).  N must divide by the
     data-axis size.
     """
+    if cfg.self_ensemble:
+        raise ValueError("self_ensemble is not implemented for the "
+                         "GSPMD batch path; use serve.upscale_frames "
+                         "without a mesh (it batches the flip variants)")
     n, h, w, d = images.shape
     dp = mesh.shape["data"]
     if n % dp:
@@ -101,6 +105,10 @@ def upscale_spatial(image, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh
     :func:`libsrcnn_tpu.parallel.tiled.upscale_tiled` (see PARITY.md for
     the measured comparison).
     """
+    if cfg.self_ensemble:
+        raise ValueError("self_ensemble is not implemented for the "
+                         "GSPMD spatial path; ensemble per frame via "
+                         "api.upscale")
     if cfg.use_pallas:
         raise ValueError(
             "upscale_spatial cannot honor use_pallas=True (GSPMD cannot "

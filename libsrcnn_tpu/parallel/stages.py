@@ -197,6 +197,10 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
       ([N, H', W', D] u8 frames, [N, H', W'] u8 conv maps), bit-identical
       to running :func:`libsrcnn_tpu.upscale` per frame.
     """
+    if cfg.self_ensemble:
+        raise ValueError("self_ensemble is not implemented for the "
+                         "stage-pipelined path; ensemble per frame "
+                         "via api.upscale")
     n_stages = mesh.shape[axis]
     if n_stages not in _GROUPINGS:
         raise ValueError(

@@ -151,6 +151,9 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
     from ..ops.resize import scaled_size
     from ..pipeline import resolve_pallas
 
+    if cfg.self_ensemble:
+        raise ValueError("self_ensemble is not implemented for the tiled "
+                         "path; ensemble per frame via api.upscale")
     if cfg.model != "srcnn":
         raise ValueError(
             f"upscale_tiled implements the srcnn 9-1-5 halo plan; "

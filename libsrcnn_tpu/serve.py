@@ -36,12 +36,23 @@ def upscale_frames(frames: np.ndarray, scale: float = 2.0,
     if mesh is not None:
         from .parallel import sharding
 
+        if config.self_ensemble:
+            raise ValueError(
+                "self_ensemble is not implemented for the mesh-sharded "
+                "batch path; drop mesh= (the single-device dispatch "
+                "batches all 4 variants of every frame) or ensemble "
+                "per frame via api.upscale")
         out, _ = sharding.upscale_batch(jnp.asarray(frames), params,
                                         float(scale), config, mesh)
         return np.asarray(out)
     # single device: one vmapped dispatch for the whole clip (per-frame
     # dispatch overhead dominates at small frame sizes)
-    out, _ = _batch_pass(jnp.asarray(frames), params, float(scale), config)
+    if config.self_ensemble:
+        out, _ = _ensemble_pass(jnp.asarray(frames), params, float(scale),
+                                config, batched=True)
+    else:
+        out, _ = _batch_pass(jnp.asarray(frames), params, float(scale),
+                             config)
     return np.asarray(out)
 
 
@@ -55,6 +66,51 @@ def _batch_pass(frames, params, scale: float, config: SRCNNConfig):
     fn = _compiled_batch(h, w, d, dst_h, dst_w, int(config.filter),
                          pipeline.resolve_pallas(config.use_pallas),
                          config.compute_dtype, config.model, spec)
+    return fn(frames, params)
+
+
+def _ensemble_body(img, params, *, body):
+    """Flip self-ensemble of one frame, entirely on device: the 4 flip
+    variants through a vmapped single pass, unflipped and averaged in f32
+    before the u8 cast (jnp.round == np.rint, ties-to-even)."""
+    v = jnp.stack([img, img[:, ::-1], img[::-1], img[::-1, ::-1]])
+    outs, convs = jax.vmap(body, in_axes=(0, None))(v, params)
+
+    def unflip_mean(a):
+        back = jnp.stack([a[0], a[1][:, ::-1], a[2][::-1], a[3][::-1, ::-1]])
+        return jnp.round(jnp.mean(back.astype(jnp.float32), axis=0)
+                         ).astype(jnp.uint8)
+
+    return unflip_mean(outs), unflip_mean(convs)
+
+
+@functools.lru_cache(maxsize=32)
+def _compiled_ensemble(h, w, d, dst_h, dst_w, filter_type, use_pallas, dtype,
+                       model="srcnn", spec=None, batched=False):
+    body = functools.partial(pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
+                             filter_type=filter_type, use_pallas=use_pallas,
+                             compute_dtype=dtype, model=model,
+                             fsrcnn_spec=spec)
+    fn = functools.partial(_ensemble_body, body=body)
+    if batched:
+        fn = jax.vmap(fn, in_axes=(0, None))
+    return jax.jit(fn)
+
+
+def _ensemble_pass(frames, params, scale: float, config: SRCNNConfig,
+                   batched: bool = False):
+    """(frame [H,W,D] or clip [N,H,W,D]) -> flip-ensembled (out, conv),
+    one device dispatch covering all 4 variants (x all frames)."""
+    from .ops import resize as _resize
+
+    h, w, d = frames.shape[-3:]
+    dst_w, dst_h = _resize.scaled_size(w, h, scale)
+    params, spec = pipeline.prepare_model_params(config, params, h, w,
+                                                 dst_h, dst_w, scale)
+    fn = _compiled_ensemble(h, w, d, dst_h, dst_w, int(config.filter),
+                            pipeline.resolve_pallas(config.use_pallas),
+                            config.compute_dtype, config.model, spec,
+                            batched)
     return fn(frames, params)
 
 
@@ -99,6 +155,9 @@ class VideoUpscaler:
         last_err = None
         for attempt in range(self.max_retries + 1):
             try:
+                if self.config.self_ensemble:
+                    return _ensemble_pass(jnp.asarray(frame), self.params,
+                                          self.scale, self.config)[0]
                 return pipeline.run_pass(jnp.asarray(frame), self.params,
                                          self.scale, self.config)[0]
             except jax.errors.JaxRuntimeError as e:

@@ -265,3 +265,29 @@ def test_self_ensemble_step_scale_path():
     img = np.random.default_rng(15).integers(0, 256, (12, 10, 3), np.uint8)
     out = upscale(img, 4.0, SRCNNConfig(self_ensemble=True, step_scale=True))
     assert out.shape == (48, 40, 3) and out.dtype == np.uint8
+
+
+def test_self_ensemble_through_serving():
+    """The batched clip path and the streaming VideoUpscaler honor
+    self_ensemble and agree exactly with the per-frame api result; the
+    mesh-sharded batch path rejects it rather than silently ignoring."""
+    import jax
+
+    from libsrcnn_tpu import SRCNNConfig, serve, upscale
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    cfg = SRCNNConfig(self_ensemble=True)
+    frames = np.random.default_rng(16).integers(
+        0, 256, (2, 12, 10, 3), np.uint8)
+    ref = np.stack([upscale(f, 2.0, cfg) for f in frames])
+
+    clip = serve.upscale_frames(frames, 2.0, cfg)
+    np.testing.assert_array_equal(clip, ref)
+
+    vu = serve.VideoUpscaler(2.0, cfg)
+    streamed = np.stack(list(vu.stream(list(frames))))
+    np.testing.assert_array_equal(streamed, ref)
+
+    mesh = make_mesh({"data": 2, "row": 1, "col": 1}, jax.devices()[:2])
+    with pytest.raises(ValueError, match="self_ensemble"):
+        serve.upscale_frames(frames, 2.0, cfg, mesh=mesh)
