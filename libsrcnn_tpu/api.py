@@ -123,7 +123,8 @@ def _upscale_flip_ensemble(img, scale, config, params):
     pipeline, outputs unflipped and averaged in f32 before the u8 cast.
 
     The non-step path batches all 4 variants into ONE vmapped device
-    dispatch (`serve._batch_pass` -- the MXU sees a batch, not 4 calls);
+    dispatch (`serve._ensemble_pass` -- the MXU sees a batch, not 4
+    calls, and the flip/unflip bookkeeping lives there);
     step-scale chains go through the scalar path per variant.  Flips
     only (no transposes): 90-degree rotations swap H/W and would need a
     second set of resize tables for non-square frames.
@@ -131,7 +132,8 @@ def _upscale_flip_ensemble(img, scale, config, params):
     base = dataclasses.replace(config, self_ensemble=False)
     if not base.step_scale:
         # flips, pipeline x4, unflip, average -- all inside ONE jitted
-        # device program (serve._ensemble_pass)
+        # device program (serve._ensemble_pass holds the flip/unflip
+        # bookkeeping)
         from . import serve
 
         out, conv = serve._ensemble_pass(img, params, float(scale), base)
@@ -153,6 +155,10 @@ def _upscale_flip_ensemble(img, scale, config, params):
     out = np.rint(np.mean(
         [flip(o, fy, fx).astype(np.float32)
          for (fy, fx), o in zip(flips, outs)], axis=0)).astype(np.uint8)
+    if any(c is None for c in convs):
+        # a degenerate chain (e.g. scale 1.0) ran zero passes: the plain
+        # step path returns conv=None, so the ensemble does too
+        return out, None
     conv = np.rint(np.mean(
         [flip(c, fy, fx).astype(np.float32)
          for (fy, fx), c in zip(flips, convs)], axis=0)).astype(np.uint8)

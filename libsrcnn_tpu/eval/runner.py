@@ -63,7 +63,8 @@ def evaluate_image(
     # different grid than the ground truth -- a misalignment penalty the
     # interp baseline (resized straight to the target shape) never pays.
     s = int(round(scale))
-    if s >= 1 and abs(scale - s) < 1e-9:
+    integer_scale = s >= 1 and abs(scale - s) < 1e-9
+    if integer_scale:
         scale = float(s)
         hr = hr[:hr.shape[0] // s * s, :hr.shape[1] // s * s]
     h, w = hr.shape[:2]
@@ -80,10 +81,18 @@ def evaluate_image(
 
     exact = float(w) / lw  # recover exactly h x w on the way up
     exact_h = float(h) / lh
-    # +eps: the pipeline truncates sizes through f32 (reference parity,
-    # `test.cpp:653-672` math), so an exact ratio can land one pixel short
-    # (e.g. 106 * f32(427/106) -> 426); the overshoot is cropped below
-    up_scale = max(exact, exact_h) * (1.0 + 1e-6) + 1e-6
+    if integer_scale:
+        # the crop made the round trip exact; use the integer itself --
+        # an epsilon here is not harmless: it bumps the step-scale
+        # repeat count (fmod(4+eps, 2) > 0) and adds a spurious extra
+        # near-identity conv pass the reference recipe never runs
+        up_scale = float(s)
+    else:
+        # +eps: the pipeline truncates sizes through f32 (reference
+        # parity, `test.cpp:653-672` math), so an exact ratio can land
+        # one pixel short (e.g. 106 * f32(427/106) -> 426); the
+        # overshoot is cropped below
+        up_scale = max(exact, exact_h) * (1.0 + 1e-6) + 1e-6
 
     srcnn_up = upscale(lr, up_scale,
                        SRCNNConfig(filter=filter_type, model=model,
@@ -116,7 +125,8 @@ def evaluate_image(
 def evaluate_dir(path: str, scale: float = 2.0,
                  filter_type: FilterType = FilterType.BICUBIC,
                  model: str = "srcnn",
-                 step_scale: bool = False) -> list[EvalResult]:
+                 step_scale: bool = False,
+                 self_ensemble: bool = False) -> list[EvalResult]:
     from ..io import load_image
 
     if os.path.isfile(path):
@@ -130,7 +140,8 @@ def evaluate_dir(path: str, scale: float = 2.0,
         img = load_image(f)[..., :3]
         results.append(evaluate_image(img, scale, filter_type,
                                       name=os.path.basename(f), model=model,
-                                      step_scale=step_scale))
+                                      step_scale=step_scale,
+                                      self_ensemble=self_ensemble))
     return results
 
 
@@ -140,6 +151,7 @@ def main(argv: list[str] | None = None) -> int:
     ft = FilterType.BICUBIC
     model = "srcnn"
     step = False
+    ensemble = False
     path = None
     for a in argv:
         if a.startswith("--scale="):
@@ -151,14 +163,17 @@ def main(argv: list[str] | None = None) -> int:
             model = a[8:]
         elif a == "--step":
             step = True
+        elif a == "--ensemble":
+            ensemble = True
         else:
             path = a
     if path is None:
         raise SystemExit("usage: python -m libsrcnn_tpu.eval.runner <dir|image> "
                          "[--scale=F] [--filter=name|0-4] "
-                         "[--model=srcnn|fsrcnn|espcn|vdsr] [--step]")
+                         "[--model=srcnn|fsrcnn|espcn|vdsr] [--step] "
+                         "[--ensemble]")
 
-    results = evaluate_dir(path, scale, ft, model, step)
+    results = evaluate_dir(path, scale, ft, model, step, ensemble)
     print(f"{'image':24s} {'interp PSNR/SSIM':>20s} {'SRCNN PSNR/SSIM':>20s} {'gain':>7s}")
     for r in results:
         print(f"{r.name:24s} {r.psnr_interp:9.2f}/{r.ssim_interp:.4f} "

@@ -171,6 +171,7 @@ def _deconv_subpixel(h, w, r: int, precision):
         return lax.conv_transpose(
             h, w, (r, r), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
             precision=precision)
     L, P, taps = _subpixel_plan(k, r)
     c, sy, sx, wy, wx = (np.asarray(a) for a in zip(*taps))

@@ -56,17 +56,35 @@ def upscale_frames(frames: np.ndarray, scale: float = 2.0,
     return np.asarray(out)
 
 
-def _batch_pass(frames, params, scale: float, config: SRCNNConfig):
+def _pass_geometry(frames, params, scale: float, config: SRCNNConfig):
+    """Shared prologue of the compiled passes: resolve the output
+    geometry, split the model spec, and build the static key used by the
+    compile caches.  Returns (params, static_key) where static_key is
+    (h, w, d, dst_h, dst_w, filter, use_pallas, dtype, model, spec)."""
     from .ops import resize as _resize
 
-    n, h, w, d = frames.shape
+    h, w, d = frames.shape[-3:]
     dst_w, dst_h = _resize.scaled_size(w, h, scale)
     params, spec = pipeline.prepare_model_params(config, params, h, w,
                                                  dst_h, dst_w, scale)
-    fn = _compiled_batch(h, w, d, dst_h, dst_w, int(config.filter),
-                         pipeline.resolve_pallas(config.use_pallas),
-                         config.compute_dtype, config.model, spec)
-    return fn(frames, params)
+    return params, (h, w, d, dst_h, dst_w, int(config.filter),
+                    pipeline.resolve_pallas(config.use_pallas),
+                    config.compute_dtype, config.model, spec)
+
+
+def _single_pass_body(dst_h, dst_w, filter_type, use_pallas, dtype,
+                      model, spec):
+    """The (img, params) pass body with every static bound -- the one
+    place the _single_pass kwargs are spelled out for the serve paths."""
+    return functools.partial(pipeline._single_pass, dst_h=dst_h,
+                             dst_w=dst_w, filter_type=filter_type,
+                             use_pallas=use_pallas, compute_dtype=dtype,
+                             model=model, fsrcnn_spec=spec)
+
+
+def _batch_pass(frames, params, scale: float, config: SRCNNConfig):
+    params, key = _pass_geometry(frames, params, scale, config)
+    return _compiled_batch(*key)(frames, params)
 
 
 def _ensemble_body(img, params, *, body):
@@ -87,10 +105,8 @@ def _ensemble_body(img, params, *, body):
 @functools.lru_cache(maxsize=32)
 def _compiled_ensemble(h, w, d, dst_h, dst_w, filter_type, use_pallas, dtype,
                        model="srcnn", spec=None, batched=False):
-    body = functools.partial(pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
-                             filter_type=filter_type, use_pallas=use_pallas,
-                             compute_dtype=dtype, model=model,
-                             fsrcnn_spec=spec)
+    body = _single_pass_body(dst_h, dst_w, filter_type, use_pallas, dtype,
+                             model, spec)
     fn = functools.partial(_ensemble_body, body=body)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, None))
@@ -101,25 +117,15 @@ def _ensemble_pass(frames, params, scale: float, config: SRCNNConfig,
                    batched: bool = False):
     """(frame [H,W,D] or clip [N,H,W,D]) -> flip-ensembled (out, conv),
     one device dispatch covering all 4 variants (x all frames)."""
-    from .ops import resize as _resize
-
-    h, w, d = frames.shape[-3:]
-    dst_w, dst_h = _resize.scaled_size(w, h, scale)
-    params, spec = pipeline.prepare_model_params(config, params, h, w,
-                                                 dst_h, dst_w, scale)
-    fn = _compiled_ensemble(h, w, d, dst_h, dst_w, int(config.filter),
-                            pipeline.resolve_pallas(config.use_pallas),
-                            config.compute_dtype, config.model, spec,
-                            batched)
-    return fn(frames, params)
+    params, key = _pass_geometry(frames, params, scale, config)
+    return _compiled_ensemble(*key, batched)(frames, params)
 
 
 @functools.lru_cache(maxsize=32)
 def _compiled_batch(h, w, d, dst_h, dst_w, filter_type, use_pallas, dtype,
                     model="srcnn", spec=None):
-    body = functools.partial(pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
-                      filter_type=filter_type, use_pallas=use_pallas,
-                      compute_dtype=dtype, model=model, fsrcnn_spec=spec)
+    body = _single_pass_body(dst_h, dst_w, filter_type, use_pallas, dtype,
+                             model, spec)
     return jax.jit(jax.vmap(body, in_axes=(0, None)))
 
 
