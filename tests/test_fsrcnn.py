@@ -130,3 +130,26 @@ def test_fsrcnn_via_cli(tmp_path):
 
     out = np.asarray(Image.open(str(tmp_path / "in_resized.png")))
     assert out.shape == (32, 32, 3)
+
+
+@pytest.mark.parametrize("k,r", [(9, 2), (9, 3), (9, 4), (5, 2), (7, 3),
+                                 (4, 5)])
+def test_subpixel_deconv_equals_conv_transpose(k, r):
+    """The dense sub-pixel formulation must compute exactly
+    lax.conv_transpose's SAME-padded per-pixel sums for every (kernel,
+    stride) shape -- including the k < stride fallback path."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from libsrcnn_tpu.models import fsrcnn
+
+    rng = np.random.default_rng(k * 10 + r)
+    h = jnp.asarray(rng.normal(size=(2, 7, 6, 5)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, k, 5, 1)).astype(np.float32))
+    ref = lax.conv_transpose(h, w, (r, r), "SAME",
+                             dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                             precision=lax.Precision.HIGHEST)
+    got = fsrcnn._deconv_subpixel(h, w, r, lax.Precision.HIGHEST)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=0, atol=1e-4)
