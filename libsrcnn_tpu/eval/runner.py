@@ -55,18 +55,22 @@ def evaluate_image(
     from ..api import upscale
     from ..ops import color, resize
 
-    # Standard SR protocol: crop the ground truth to a multiple of an
-    # integer scale so the round trip is exact on BOTH dims.  Without the
-    # crop a non-multiple side forces a fractional recovery factor that is
-    # then applied to the other dim too (the pipeline is uniform-scale,
-    # like the reference), leaving the model output sampled on a slightly
-    # different grid than the ground truth -- a misalignment penalty the
-    # interp baseline (resized straight to the target shape) never pays.
-    s = int(round(scale))
-    integer_scale = s >= 1 and abs(scale - s) < 1e-9
-    if integer_scale:
-        scale = float(s)
-        hr = hr[:hr.shape[0] // s * s, :hr.shape[1] // s * s]
+    # Standard SR protocol, generalized to rational scales: for
+    # scale = p/q crop the ground truth to multiples of p so the round
+    # trip is exact on BOTH dims.  Without the crop a non-multiple side
+    # forces a different recovery factor than the other dim, and the
+    # uniform-scale pipeline (like the reference) then samples the
+    # output on a misaligned grid vs the ground truth -- a penalty that
+    # hits sharp model restorations far harder than the blurry interp
+    # baseline, inverting comparisons on detail-rich content.
+    from fractions import Fraction
+
+    frac = Fraction(scale).limit_denominator(8)
+    aligned_scale = float(frac) >= 1.0 and abs(scale - float(frac)) < 1e-9
+    if aligned_scale:
+        p = frac.numerator
+        scale = float(frac)
+        hr = hr[:hr.shape[0] // p * p, :hr.shape[1] // p * p]
     h, w = hr.shape[:2]
     lw, lh = max(1, int(w / scale)), max(1, int(h / scale))
 
@@ -81,12 +85,12 @@ def evaluate_image(
 
     exact = float(w) / lw  # recover exactly h x w on the way up
     exact_h = float(h) / lh
-    if integer_scale:
-        # the crop made the round trip exact; use the integer itself --
+    if aligned_scale:
+        # the crop made the round trip exact; use the factor itself --
         # an epsilon here is not harmless: it bumps the step-scale
         # repeat count (fmod(4+eps, 2) > 0) and adds a spurious extra
         # near-identity conv pass the reference recipe never runs
-        up_scale = float(s)
+        up_scale = scale
     else:
         # +eps: the pipeline truncates sizes through f32 (reference
         # parity, `test.cpp:653-672` math), so an exact ratio can land

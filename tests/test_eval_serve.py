@@ -291,3 +291,19 @@ def test_self_ensemble_through_serving():
     mesh = make_mesh({"data": 2, "row": 1, "col": 1}, jax.devices()[:2])
     with pytest.raises(ValueError, match="self_ensemble"):
         serve.upscale_frames(frames, 2.0, cfg, mesh=mesh)
+
+
+def test_eval_rational_scale_alignment():
+    """x2.5 = 5/2: the eval must crop ground truth to a multiple of 5 so
+    BOTH dims recover with the exact factor -- without it the uniform-
+    scale pipeline samples a misaligned grid that penalizes sharp model
+    output far more than the blurry interp baseline (seen as vdsr
+    'losing' 3 dB on detail-rich content under the old protocol)."""
+    img = np.random.default_rng(17).integers(0, 256, (67, 44, 3), np.uint8)
+    r = evaluate_image(img, 2.5, FilterType.BICUBIC, name="frac")
+    r_pre = evaluate_image(img[:65, :40], 2.5, FilterType.BICUBIC,
+                           name="pre")
+    assert r.psnr_srcnn == r_pre.psnr_srcnn
+    # a genuinely irrational-ish factor still runs through the eps path
+    r_odd = evaluate_image(img, 1.37, FilterType.BICUBIC, name="odd")
+    assert np.isfinite(r_odd.psnr_srcnn)
