@@ -84,6 +84,7 @@ def main(argv=None) -> int:
     src = dst = None
     scale, model, filt, batch = 2.0, "srcnn", FilterType.BICUBIC, 8
     dtype = "float32"
+    ensemble = False
     for arg in argv:
         if arg.startswith("--scale="):
             scale = float(arg[8:])
@@ -95,6 +96,8 @@ def main(argv=None) -> int:
             batch = int(arg[8:]) or None
         elif arg == "--bf16":
             dtype = "bfloat16"
+        elif arg == "--ensemble":
+            ensemble = True
         elif arg.startswith("--"):
             raise SystemExit(f"unknown option: {arg}")
         elif src is None:
@@ -104,7 +107,7 @@ def main(argv=None) -> int:
     if src is None:
         raise SystemExit("usage: srcnn-tpu-video <in.gif> [out.gif] "
                          "--scale=F --model=srcnn|fsrcnn|espcn|vdsr "
-                         "--filter=0..4 --batch=N --bf16")
+                         "--filter=0..4 --batch=N --bf16 --ensemble")
     if dst is None:
         # keep the source container for animations (_auto_name picks .png,
         # which would silently re-wrap a GIF as APNG)
@@ -113,7 +116,8 @@ def main(argv=None) -> int:
         root, ext = os.path.splitext(src)
         dst = (f"{root}_resized{ext}" if ext.lower() in
                (".gif", ".webp", ".apng") else _auto_name(src, "resized"))
-    cfg = SRCNNConfig(filter=filt, model=model, compute_dtype=dtype)
+    cfg = SRCNNConfig(filter=filt, model=model, compute_dtype=dtype,
+                      self_ensemble=ensemble)
     t0 = get_tick_count()
     n = upscale_video(src, dst, scale, cfg, batch)
     print(f"{dst}: {n} frames, took {get_tick_count() - t0} ms")
