@@ -80,3 +80,10 @@ def test_parse_pallas_and_bf16_flags():
     assert cfg.use_pallas is False and cfg.compute_dtype == "bfloat16"
     _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--pallas"])
     assert cfg.use_pallas is True
+
+
+def test_parse_ensemble_flag():
+    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--ensemble"])
+    assert cfg.self_ensemble is True
+    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png"])
+    assert cfg.self_ensemble is False
