@@ -34,14 +34,30 @@ def upscale_frames(frames: np.ndarray, scale: float = 2.0,
     if params is None:
         params = pipeline.load_model_params(config, scale)
     if mesh is not None:
+        import dataclasses
+
         from .parallel import sharding
 
         if config.self_ensemble:
-            raise ValueError(
-                "self_ensemble is not implemented for the mesh-sharded "
-                "batch path; drop mesh= (the single-device dispatch "
-                "batches all 4 variants of every frame) or ensemble "
-                "per frame via api.upscale")
+            # the flip ensemble is just a 4x batch: shard the variants
+            # over the data axis like any other frames, unflip+average
+            # on the host (identical math to _ensemble_body, so this
+            # path is bit-identical to the single-device ensemble)
+            base = dataclasses.replace(config, self_ensemble=False)
+            f = np.asarray(frames)
+            n, h, w, d = f.shape
+            variants = np.stack(
+                [f, f[:, :, ::-1], f[:, ::-1], f[:, ::-1, ::-1]],
+                axis=1).reshape(4 * n, h, w, d)
+            out, _ = sharding.upscale_batch(
+                jnp.asarray(np.ascontiguousarray(variants)), params,
+                float(scale), base, mesh)
+            o = np.asarray(out).reshape(n, 4, *out.shape[1:])
+            back = np.stack([o[:, 0], o[:, 1][:, :, ::-1],
+                             o[:, 2][:, ::-1], o[:, 3][:, ::-1, ::-1]],
+                            axis=1)
+            return np.rint(back.astype(np.float32).mean(axis=1)
+                           ).astype(np.uint8)
         out, _ = sharding.upscale_batch(jnp.asarray(frames), params,
                                         float(scale), config, mesh)
         return np.asarray(out)

@@ -268,9 +268,10 @@ def test_self_ensemble_step_scale_path():
 
 
 def test_self_ensemble_through_serving():
-    """The batched clip path and the streaming VideoUpscaler honor
-    self_ensemble and agree exactly with the per-frame api result; the
-    mesh-sharded batch path rejects it rather than silently ignoring."""
+    """The batched clip path, the streaming VideoUpscaler, AND the
+    mesh-sharded batch path honor self_ensemble and agree exactly with
+    the per-frame api result (the mesh path shards the 4 flip variants
+    over the data axis like any other frames)."""
     import jax
 
     from libsrcnn_tpu import SRCNNConfig, serve, upscale
@@ -288,9 +289,9 @@ def test_self_ensemble_through_serving():
     streamed = np.stack(list(vu.stream(list(frames))))
     np.testing.assert_array_equal(streamed, ref)
 
-    mesh = make_mesh({"data": 2, "row": 1, "col": 1}, jax.devices()[:2])
-    with pytest.raises(ValueError, match="self_ensemble"):
-        serve.upscale_frames(frames, 2.0, cfg, mesh=mesh)
+    mesh = make_mesh({"data": 4, "row": 1, "col": 1}, jax.devices()[:4])
+    sharded = serve.upscale_frames(frames, 2.0, cfg, mesh=mesh)
+    np.testing.assert_array_equal(sharded, ref)
 
 
 def test_eval_rational_scale_alignment():
