@@ -10,13 +10,7 @@
 #include <stdio.h>
 #include <stdlib.h>
 
-unsigned SRCNN_Version(void);
-void SRCNN_FreeBuffer(unsigned char* p);
-void ConfigureFilterSRCNN(int ftype, int stepscale);
-int ProcessSRCNN(const unsigned char* refbuff,
-                 unsigned w, unsigned h, unsigned d, float multiply,
-                 unsigned char** outbuff, unsigned* outbuffsz,
-                 unsigned char** convbuff, unsigned* convbuffsz);
+#include "../native/libsrcnn_tpu_c.h"
 
 static int write_all(const char* path, const unsigned char* p, unsigned n) {
     FILE* f = fopen(path, "wb");
