@@ -66,6 +66,15 @@ def build_patch_pool(images, n_patches: int, patch: int, scale: int,
                      seed: int = 0):
     """Pre-generate (lr [N,p,p], hr [N,s*p,s*p]) with batched downscale."""
     import jax
+
+    # one-time host work: keep the pool resizes off the TPU relay (each
+    # distinct shape is a 10-40 s remote compile; CPU does it in ms)
+    with jax.default_device(jax.devices("cpu")[0]):
+        return _build_patch_pool_on(images, n_patches, patch, scale, seed)
+
+
+def _build_patch_pool_on(images, n_patches, patch, scale, seed):
+    import jax
     import jax.numpy as jnp
 
     from libsrcnn_tpu.config import FilterType
