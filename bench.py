@@ -27,7 +27,7 @@ once on the last result via a 1-element fetch (device stream execution is
 serialized, so this bounds the whole stream).  Device-side profiler
 traces (benchmarks/trace_kernel.py, PERF.md) show the modules executing
 back-to-back with zero gaps, so the one ~30 ms sync is the only non-chip
-term; STREAM=32 amortizes it to <1 ms/frame.
+term; STREAM=96 amortizes it to ~0.3 ms/frame.
 
 Baseline: the reference (OpenMP CPU build, this machine, BASELINE.md)
 achieves 0.174 MP/s at 256->512 and 0.022 MP/s at 1024->2048.  We compare
@@ -39,6 +39,8 @@ Prints one JSON line:
 
 import json
 import os
+import socket
+import sys
 import time
 
 import numpy as np
@@ -46,11 +48,36 @@ import numpy as np
 BASELINE_MP_S = 0.174  # reference OpenMP CPU, best case (BASELINE.md)
 SIZE = 1024            # input HxW; output is 2048x2048 = 4.19 MP
 SCALE = 2.0
-STREAM = 32            # frames per timed stream (amortizes the one sync)
+STREAM = 96            # frames per timed stream (amortizes the one sync;
+                       # 96 distinct 1024^2 inputs + retained outputs fit
+                       # comfortably in HBM at ~1.8 GB)
 TRIALS = 3
 
 
+def _relay_preflight() -> None:
+    """Fail fast if the TPU tunnel is down instead of hanging in init.
+
+    The axon PJRT client retries refused connections forever (observed:
+    a dead relay looks like an infinite silent hang).  When the env asks
+    for the tunneled chip, require at least one relay port to accept a
+    TCP connection before importing jax.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return  # CPU/other backend: nothing to check
+    for port in (8082, 8083, 8087, 8092):
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=3).close()
+            return
+        except OSError:
+            continue
+    print("bench.py: TPU relay unreachable (all probe ports refused) -- "
+          "refusing to hang in axon init", file=sys.stderr)
+    raise SystemExit(3)
+
+
 def main() -> None:
+    _relay_preflight()
+
     import jax
     import jax.numpy as jnp
 
