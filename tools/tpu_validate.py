@@ -19,6 +19,9 @@ from libsrcnn_tpu.eval import psnr, ssim
 
 
 def main() -> int:
+    import bench
+    bench._relay_preflight()  # dead tunnel -> exit 3, not a silent hang
+
     limit = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
     z = np.load("tests/goldens/goldens.npz")
     cases = [m.split(",") for m in z["meta"]][:limit]
