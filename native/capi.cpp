@@ -32,7 +32,6 @@ namespace {
 
 std::mutex g_mu;            // serializes all Python transitions
 PyObject* g_api = nullptr;  // libsrcnn_tpu.api module (owned)
-bool g_we_initialized = false;
 
 // Import libsrcnn_tpu.api once, initializing the interpreter if this
 // process has none. Caller must hold g_mu. Returns borrowed-for-lifetime
@@ -54,7 +53,11 @@ PyObject* api_module() {
                          st.err_msg ? st.err_msg : "?");
             return nullptr;
         }
-        g_we_initialized = true;
+        // Drop the GIL acquired by init so every later entry point --
+        // from ANY client thread, including retries after a failed
+        // import -- can PyGILState_Ensure without deadlocking on the
+        // init thread's implicit hold.
+        (void)PyEval_SaveThread();
     }
     PyGILState_STATE gil = PyGILState_Ensure();
     PyObject* mod = PyImport_ImportModule("libsrcnn_tpu.api");
@@ -66,15 +69,6 @@ PyObject* api_module() {
     }
     g_api = mod;
     PyGILState_Release(gil);
-    if (g_we_initialized) {
-        // Drop the GIL acquired by Py_InitializeFromConfig so any client
-        // thread can PyGILState_Ensure from here on.
-        static PyThreadState* s_main = nullptr;
-        if (s_main == nullptr && g_api != nullptr) {
-            s_main = PyEval_SaveThread();
-        }
-        (void)s_main;
-    }
     return g_api;
 }
 

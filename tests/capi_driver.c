@@ -7,8 +7,10 @@
  *                    <out_file> <conv_file>
  * Exit code: 0 on success, the (negated) ProcessSRCNN code otherwise.
  */
+#include <pthread.h>
 #include <stdio.h>
 #include <stdlib.h>
+#include <string.h>
 
 #include "../native/libsrcnn_tpu_c.h"
 
@@ -18,6 +20,20 @@ static int write_all(const char* path, const unsigned char* p, unsigned n) {
     size_t w = fwrite(p, 1, n, f);
     fclose(f);
     return w != n;
+}
+
+struct job { const unsigned char* in; unsigned w, h, d; float m;
+             const unsigned char* want; unsigned wantsz; int ok; };
+
+static void* worker(void* p) {
+    struct job* j = p;
+    unsigned char* out = NULL;
+    unsigned outsz = 0;
+    int rc = ProcessSRCNN(j->in, j->w, j->h, j->d, j->m,
+                          &out, &outsz, NULL, NULL);
+    j->ok = rc == 0 && outsz == j->wantsz && !memcmp(out, j->want, outsz);
+    SRCNN_FreeBuffer(out);
+    return NULL;
 }
 
 int main(int argc, char** argv) {
@@ -46,11 +62,16 @@ int main(int argc, char** argv) {
     }
     fclose(f);
 
-    /* negative-geometry probe first: must return -1, not crash */
+    /* error-code probes first: must return reference codes, not crash
+     * (`libsrcnn.cpp:951-966`) */
     unsigned char* ob = NULL;
     unsigned obsz = 0;
     if (ProcessSRCNN(in, 0, h, d, multiply, &ob, &obsz, NULL, NULL) != -1) {
         fprintf(stderr, "zero-width probe did not return -1\n");
+        return 2;
+    }
+    if (ProcessSRCNN(in, w, h, d, -2.0f, &ob, &obsz, NULL, NULL) != -2) {
+        fprintf(stderr, "negative-scale probe did not return -2\n");
         return 2;
     }
 
@@ -61,6 +82,22 @@ int main(int argc, char** argv) {
     if (rc != 0) {
         fprintf(stderr, "ProcessSRCNN failed: %d\n", rc);
         return -rc;
+    }
+
+    /* concurrency probe: two worker threads re-run the same call; the
+     * library serializes them internally and each must reproduce the
+     * main thread's bytes (also exercises GIL hand-off to non-main
+     * threads in the embedded interpreter) */
+    struct job jobs[2];
+    pthread_t tid[2];
+    for (int t = 0; t < 2; ++t) {
+        jobs[t] = (struct job){in, w, h, d, multiply, ob, obsz, 0};
+        if (pthread_create(&tid[t], NULL, worker, &jobs[t])) return 2;
+    }
+    for (int t = 0; t < 2; ++t) pthread_join(tid[t], NULL);
+    if (!jobs[0].ok || !jobs[1].ok) {
+        fprintf(stderr, "threaded ProcessSRCNN mismatch\n");
+        return 2;
     }
     if (write_all(argv[7], ob, obsz) || write_all(argv[8], cb, cbsz)) {
         return 2;
