@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Device trace of a full model-zoo pipeline pass: per-op breakdown.
+
+Companion to trace_kernel.py (which traces the fused SRCNN kernel in
+isolation); this traces `pipeline.run_pass` for any family so the zoo's
+XLA conv stacks can be checked against their lane-ceiling rooflines
+(PERF.md "VDSR roofline" methodology).
+
+Run (real chip):
+  python benchmarks/trace_model.py --model espcn --size 1024 --dtype bfloat16
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from trace_kernel import report  # noqa: E402  (same xplane parsing)
+
+
+def capture(model: str, size: int, scale: float, dtype: str,
+            iters: int) -> tuple[str, float]:
+    import jax
+    import tempfile
+
+    from libsrcnn_tpu import SRCNNConfig, pipeline
+
+    cfg = SRCNNConfig(model=model, compute_dtype=dtype, use_pallas=False)
+    params = pipeline.load_model_params(cfg, scale)
+    rng = np.random.default_rng(0)
+    imgs = [jax.device_put(rng.integers(0, 256, (size, size, 3), np.uint8))
+            for _ in range(iters)]
+
+    out = pipeline.run_pass(imgs[0], params, scale, cfg)
+    np.asarray(out[0][0, 0])  # warm-up + true sync through the relay
+
+    tmp = tempfile.mkdtemp(prefix=f"srcnn_trace_{model}_")
+    with jax.profiler.trace(tmp):
+        for im in imgs:
+            out = pipeline.run_pass(im, params, scale, cfg)
+        np.asarray(out[0][0, 0])
+    o = out[0]
+    return tmp, o.shape[0] * o.shape[1] / 1e6
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="espcn")
+    ap.add_argument("--size", type=int, default=1024, help="input H=W")
+    ap.add_argument("--scale", type=float, default=2.0)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=("float32", "bfloat16"))
+    ap.add_argument("--iters", type=int, default=4)
+    args = ap.parse_args()
+
+    trace_dir, out_mp = capture(args.model, args.size, args.scale,
+                                args.dtype, args.iters)
+    print(f"trace: {trace_dir}")
+    report(trace_dir, args.iters, out_mp)
+
+
+if __name__ == "__main__":
+    main()
