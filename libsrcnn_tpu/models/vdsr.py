@@ -107,7 +107,10 @@ def load_params(scale: int | None = None, path: str | None = None,
     return params, spec
 
 
-def _conv_same(x, w, precision=lax.Precision.HIGHEST):
+def _conv_same(x, w, precision=lax.Precision.HIGHEST, lane_pack: int = 1):
+    if lane_pack > 1:
+        from libsrcnn_tpu.ops import packed_conv
+        return packed_conv.packed_conv_same(x, w, lane_pack, precision)
     kh, kw = w.shape[0], w.shape[1]
     x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
                 mode="edge")
@@ -120,14 +123,21 @@ def _conv_same(x, w, precision=lax.Precision.HIGHEST):
 
 def forward_hr(params: dict, y_hr: jnp.ndarray,
                spec: VDSRSpec = VDSRSpec(), *, clamp: bool = True,
-               precision=lax.Precision.HIGHEST):
+               precision=lax.Precision.HIGHEST, lane_pack: int = 1):
     """Interpolated HR Y plane(s) [H, W] or [N, H, W] -> refined, same
     shape.  ``y + residual`` with the residual net under scan+remat.
 
     ``precision`` sets the MXU algorithm for every conv: HIGHEST (default)
     is multi-pass exact f32; DEFAULT is single-pass bf16 multiplies with
     f32 accumulation -- the throughput tier (quality delta measured in
-    EVAL.md; there is no u8 golden gate on this family)."""
+    EVAL.md; there is no u8 golden gate on this family).
+
+    ``lane_pack > 1`` runs the interior stack through
+    :func:`libsrcnn_tpu.ops.packed_conv.packed_conv_same` (p output
+    columns packed into the MXU lane dimension -- see that module for
+    the roofline argument; p=4 doubles the useful MXU rate at ch=32).
+    Same f32 MACs in a different reduction order, so it is not used
+    where bit-stability across configs matters."""
     squeeze = y_hr.ndim == 2
     if squeeze:
         y_hr = y_hr[None]
@@ -143,7 +153,8 @@ def forward_hr(params: dict, y_hr: jnp.ndarray,
     @jax.checkpoint
     def layer(carry, wb):
         w, b = wb
-        return jnp.maximum(_conv_same(carry, w, precision) + b, 0.0), None
+        return jnp.maximum(
+            _conv_same(carry, w, precision, lane_pack) + b, 0.0), None
 
     h, _ = lax.scan(layer, h, (params["mid_w"], params["mid_b"]))
 

@@ -1,0 +1,70 @@
+"""ops.packed_conv: lane-packed SAME conv vs the direct XLA conv."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+import pytest
+
+from libsrcnn_tpu.ops import packed_conv
+
+
+def _direct_same(x, w, precision=lax.Precision.HIGHEST):
+    kh, kw = w.shape[0], w.shape[1]
+    xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2),
+                     (0, 0)), mode="edge")
+    return lax.conv_general_dilated(
+        xp, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32, precision=precision)
+
+
+@pytest.mark.parametrize("kh,kw", [(3, 3), (5, 5), (1, 1), (3, 1)])
+@pytest.mark.parametrize("wid,p", [(16, 4), (17, 4), (23, 5), (8, 2),
+                                   (12, 12), (5, 8)])
+def test_matches_direct_conv(kh, kw, wid, p):
+    rng = np.random.default_rng(hash((kh, kw, wid, p)) % 2**31)
+    x = jnp.asarray(rng.normal(size=(2, 9, wid, 6)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(kh, kw, 6, 5)).astype(np.float32))
+    got = packed_conv.packed_conv_same(x, w, p, lax.Precision.HIGHEST)
+    want = _direct_same(x, w)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-5)
+
+
+def test_matches_on_image_scale_plane():
+    """VDSR-shaped case: ch=32, p=4, real-valued plane, jitted."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 255, (1, 40, 52, 32)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(3, 3, 32, 32)) / 17).astype(np.float32))
+    f = jax.jit(lambda a: packed_conv.packed_conv_same(
+        a, w, 4, lax.Precision.HIGHEST))
+    np.testing.assert_allclose(np.asarray(f(x)), np.asarray(_direct_same(x, w)),
+                               rtol=2e-6, atol=2e-3)
+
+
+def test_pack_weights_layout():
+    """wp[dy, t, c, j*? ...] -- phase j's tap dx lives at t = j + dx."""
+    w = jnp.arange(3 * 3 * 2 * 4, dtype=jnp.float32).reshape(3, 3, 2, 4)
+    p = 3
+    wp = packed_conv.pack_weights(w, p)
+    assert wp.shape == (3, p + 2, 2, p * 4)
+    wp = np.asarray(wp).reshape(3, p + 2, 2, p, 4)
+    for j in range(p):
+        for t in range(p + 2):
+            dx = t - j
+            want = np.asarray(w)[:, dx] if 0 <= dx < 3 else 0.0
+            np.testing.assert_array_equal(wp[:, t, :, j], want)
+
+
+def test_best_phases():
+    assert packed_conv.best_phases(3, 32) == 4       # N=128 exactly, 2.0x
+    assert packed_conv.best_phases(3, 128) == 1      # already full lanes
+    assert packed_conv.best_phases(3, 12) == 10      # N=120, 2.5x
+    p64 = packed_conv.best_phases(3, 64)
+    assert p64 == 2                                  # N=128, 1.5x
+    # gain formula sanity: packing never claims a loss
+    for cout in (1, 8, 32, 64, 100, 128, 200):
+        p = packed_conv.best_phases(3, cout)
+        assert p >= 1

@@ -132,3 +132,14 @@ def test_shipped_weights_beat_bicubic_heldout():
     r = evaluate_image(img, 2.0, name="butterfly", model="vdsr")
     assert r.psnr_srcnn > r.psnr_interp, (
         f"vdsr x2 {r.psnr_srcnn:.2f} dB <= bicubic {r.psnr_interp:.2f}")
+
+
+def test_lane_pack_matches_direct():
+    """lane_pack=4 is the same stack in a packed-GEMM formulation: equal
+    to the direct path up to f32 summation order (ops/packed_conv.py)."""
+    vdsr, params, spec = _init(depth=6, ch=8)
+    y = np.random.default_rng(8).uniform(0, 255, (24, 23)).astype(np.float32)
+    base = np.asarray(vdsr.forward_hr(params, y, spec, clamp=False))
+    packed = np.asarray(vdsr.forward_hr(params, y, spec, clamp=False,
+                                        lane_pack=4))
+    np.testing.assert_allclose(packed, base, rtol=2e-6, atol=2e-3)
