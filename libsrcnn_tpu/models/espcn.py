@@ -101,7 +101,11 @@ def load_params(scale: int = 2, path: str | None = None,
     return params, spec
 
 
-def _conv_same(x, w, precision=lax.Precision.HIGHEST):
+def _conv_same(x, w, precision=lax.Precision.HIGHEST,
+               lane_pack: bool = False):
+    if lane_pack:
+        from libsrcnn_tpu.ops import packed_conv
+        return packed_conv.auto_packed_conv_same(x, w, precision)
     kh, kw = w.shape[0], w.shape[1]
     x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
                 mode="edge")
@@ -128,20 +132,24 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
 
 def forward_lr(params: dict, lr_y: jnp.ndarray,
                spec: ESPCNSpec = ESPCNSpec(), *, clamp: bool = True,
-               precision=lax.Precision.HIGHEST):
+               precision=lax.Precision.HIGHEST, lane_pack: bool = False):
     """LR Y plane(s) [H, W] or [N, H, W] -> HR [scale*H, scale*W].
 
     ``precision``: HIGHEST = exact multi-pass f32 (default); DEFAULT =
-    single-pass bf16 MXU throughput tier."""
+    single-pass bf16 MXU throughput tier.  ``lane_pack=True`` = packed
+    convs at per-layer optimal phases (the r^2-channel head uses r^2 of
+    128 MXU lanes; see :mod:`libsrcnn_tpu.ops.packed_conv`)."""
     squeeze = lr_y.ndim == 2
     if squeeze:
         lr_y = lr_y[None]
     x = lr_y[..., None].astype(params["c1_w"].dtype)
     x = x * (1.0 / 127.5) - 1.0               # [0,255] -> [-1,1]
 
-    h = jnp.tanh(_conv_same(x, params["c1_w"], precision) + params["c1_b"])
-    h = jnp.tanh(_conv_same(h, params["c2_w"], precision) + params["c2_b"])
-    h = _conv_same(h, params["c3_w"], precision) + params["c3_b"]
+    h = jnp.tanh(_conv_same(x, params["c1_w"], precision, lane_pack)
+                 + params["c1_b"])
+    h = jnp.tanh(_conv_same(h, params["c2_w"], precision, lane_pack)
+                 + params["c2_b"])
+    h = _conv_same(h, params["c3_w"], precision, lane_pack) + params["c3_b"]
     out = pixel_shuffle(h, spec.scale).astype(jnp.float32)
     if clamp:
         out = jnp.clip(out, 0.0, 255.0)

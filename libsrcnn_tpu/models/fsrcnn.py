@@ -115,7 +115,11 @@ def _prelu(x, alpha):
     return jnp.where(x >= 0, x, x * alpha)
 
 
-def _conv_same(x, w, precision=lax.Precision.HIGHEST):
+def _conv_same(x, w, precision=lax.Precision.HIGHEST,
+               lane_pack: bool = False):
+    if lane_pack:
+        from libsrcnn_tpu.ops import packed_conv
+        return packed_conv.auto_packed_conv_same(x, w, precision)
     kh, kw = w.shape[0], w.shape[1]
     x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
                 mode="edge")
@@ -156,7 +160,7 @@ def _subpixel_plan(k: int, r: int):
     return L, P, tuple(taps)
 
 
-def _deconv_subpixel(h, w, r: int, precision):
+def _deconv_subpixel(h, w, r: int, precision, lane_pack: bool = False):
     """[N,H,W,Cin] x [k,k,Cin,1] -> [N,H*r,W*r,1], equal to
     ``lax.conv_transpose(h, w, (r,r), "SAME")`` computed the MXU-friendly
     way: one dense stride-1 conv emitting the r*r sub-pixel phases,
@@ -177,6 +181,15 @@ def _deconv_subpixel(h, w, r: int, precision):
     c, sy, sx, wy, wx = (np.asarray(a) for a in zip(*taps))
     w2 = jnp.zeros((L, L, cin, r * r), w.dtype)
     w2 = w2.at[sy, sx, :, c].set(w[wy, wx, :, 0])
+    if lane_pack:
+        # r*r output channels use r*r of 128 MXU lanes (3% at x2) --
+        # the lane-packed formulation is this head's biggest lever.
+        from libsrcnn_tpu.ops import packed_conv
+        p = packed_conv.best_phases(L, r * r)
+        if p > 1:
+            up = packed_conv.packed_conv(
+                h, w2, p, ((P, L - 1 - P),) * 2, precision)
+            return pixel_shuffle(up, r)[..., None]
     up = lax.conv_general_dilated(
         h, w2, (1, 1), [(P, L - 1 - P)] * 2,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -187,22 +200,28 @@ def _deconv_subpixel(h, w, r: int, precision):
 
 def forward_lr(params: dict, lr_y: jnp.ndarray,
                spec: FSRCNNSpec = FSRCNNSpec(), *, clamp: bool = True,
-               precision=lax.Precision.HIGHEST):
+               precision=lax.Precision.HIGHEST, lane_pack: bool = False):
     """LR Y plane(s) [H, W] or [N, H, W] -> HR [scale*H, scale*W].
 
     ``precision``: HIGHEST = exact multi-pass f32 (default); DEFAULT =
-    single-pass bf16 MXU throughput tier."""
+    single-pass bf16 MXU throughput tier.
+
+    ``lane_pack=True`` runs every spatial conv (and the sub-pixel
+    deconv) through :mod:`libsrcnn_tpu.ops.packed_conv` at its
+    roofline-optimal phase count -- same f32 MACs, different reduction
+    order (the d=56/s=12/r^2-channel stack is badly MXU-lane-starved;
+    see that module)."""
     squeeze = lr_y.ndim == 2
     if squeeze:
         lr_y = lr_y[None]
     x = lr_y[..., None].astype(params["feat_w"].dtype)
 
-    h = _prelu(_conv_same(x, params["feat_w"], precision) + params["feat_b"],
-               params["feat_a"])
+    h = _prelu(_conv_same(x, params["feat_w"], precision, lane_pack)
+               + params["feat_b"], params["feat_a"])
     h = _prelu(_conv_same(h, params["shrink_w"], precision)
                + params["shrink_b"], params["shrink_a"])
     for i in range(spec.m):
-        h = _prelu(_conv_same(h, params[f"map{i}_w"], precision)
+        h = _prelu(_conv_same(h, params[f"map{i}_w"], precision, lane_pack)
                    + params[f"map{i}_b"], params[f"map{i}_a"])
     h = _prelu(_conv_same(h, params["expand_w"], precision)
                + params["expand_b"], params["expand_a"])
@@ -214,7 +233,8 @@ def forward_lr(params: dict, lr_y: jnp.ndarray,
     # the dense reformulation (measured 1342 -> 85 ms end-to-end at
     # 1024^2-in, PERF.md "FSRCNN deconv"); the two are the same
     # per-pixel sums.
-    up = _deconv_subpixel(h, params["deconv_w"], spec.scale, precision)
+    up = _deconv_subpixel(h, params["deconv_w"], spec.scale, precision,
+                          lane_pack)
     out = (up + params["deconv_b"])[..., 0].astype(jnp.float32)
     if clamp:
         out = jnp.clip(out, 0.0, 255.0)

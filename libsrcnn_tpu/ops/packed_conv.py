@@ -58,34 +58,69 @@ def pack_weights(w: jnp.ndarray, p: int) -> jnp.ndarray:
     return wp.reshape(kh, p + kw - 1, cin, p * cout)
 
 
+def packed_conv(x: jnp.ndarray, w: jnp.ndarray, p: int,
+                padding, precision=lax.Precision.DEFAULT,
+                pad_mode: str = "constant") -> jnp.ndarray:
+    """Stride-1 conv with explicit padding, via p-phase lane packing.
+
+    ``x``: [N, H, W, cin]; ``w``: [kh, kw, cin, cout];
+    ``padding``: ((ph_lo, ph_hi), (pw_lo, pw_hi)) applied with
+    ``pad_mode`` ("constant" = zeros, "edge" = replicate).  Equal to
+    ``lax.conv_general_dilated(pad(x), w, (1, 1), "VALID")`` up to f32
+    summation order, for any output width: the plane is padded out to a
+    whole number of p-column groups (junk columns cropped; with "edge"
+    mode the extra pad replicates the true edge, so kept outputs are
+    unaffected either way -- zero/edge fill only feeds cropped phases).
+    """
+    kh, kw, cin, cout = w.shape
+    (ph_lo, ph_hi), (pw_lo, pw_hi) = padding
+    n, h, wid, _ = x.shape
+    h_out = h + ph_lo + ph_hi - kh + 1
+    w_out = wid + pw_lo + pw_hi - kw + 1
+    groups = -(-w_out // p)
+    extra = groups * p + kw - 1 - (wid + pw_lo + pw_hi)
+    xp = jnp.pad(x, ((0, 0), (ph_lo, ph_hi), (pw_lo, pw_hi + extra),
+                     (0, 0)), mode=pad_mode)
+    out = lax.conv_general_dilated(
+        xp, pack_weights(w, p), (1, p), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=precision)
+    # [N, H_out, groups, p*cout]: phase j of group m is output col m*p+j
+    out = out.reshape(n, h_out, groups * p, cout)
+    return out[:, :, :w_out] if groups * p != w_out else out
+
+
 def packed_conv_same(x: jnp.ndarray, w: jnp.ndarray, p: int,
                      precision=lax.Precision.DEFAULT) -> jnp.ndarray:
     """SAME-padded (edge-replicate) conv via p-phase lane packing.
 
     ``x``: [N, H, W, cin]; ``w``: [kh, kw, cin, cout] (odd kh/kw).
     Returns [N, H, W, cout], equal to the direct edge-padded VALID conv
-    up to f32 summation order.  Any ``W`` is accepted: the plane is
-    edge-padded up to a multiple of ``p`` and the junk columns cropped
-    (the pad columns replicate the true edge, so every kept output still
-    sees exactly the SAME-padding input window).
+    up to f32 summation order.
     """
-    kh, kw, cin, cout = w.shape
+    kh, kw = w.shape[0], w.shape[1]
     if kh % 2 != 1 or kw % 2 != 1:
         raise ValueError(f"odd kernel expected, got {(kh, kw)}")
-    n, h, wid, _ = x.shape
-    wp = pack_weights(w, p)
+    return packed_conv(x, w, p, ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+                       precision, pad_mode="edge")
 
-    pad_w = (-wid) % p
-    x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2),
-                    (kw // 2, kw // 2 + pad_w), (0, 0)), mode="edge")
-    out = lax.conv_general_dilated(
-        x, wp, (1, p), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=precision)
-    # [N, H, W/p, p*cout]: phase j of group m is output column m*p+j
-    out = out.reshape(n, h, out.shape[2] * p, cout)
-    return out[:, :, :wid] if pad_w else out
+
+def auto_packed_conv_same(x: jnp.ndarray, w: jnp.ndarray,
+                          precision=lax.Precision.DEFAULT) -> jnp.ndarray:
+    """SAME edge-padded conv at the roofline-optimal phase count for this
+    kernel's shape (p=1 falls back to the direct conv -- already-wide
+    stacks and 1x1 convs pack nothing)."""
+    kh, kw, _, cout = w.shape
+    p = best_phases(kw, cout)
+    if p == 1:
+        xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2),
+                         (0, 0)), mode="edge")
+        return lax.conv_general_dilated(
+            xp, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32, precision=precision)
+    return packed_conv_same(x, w, p, precision)
 
 
 @functools.lru_cache(maxsize=None)

@@ -135,3 +135,14 @@ def test_espcn_via_cli(tmp_path):
 
     out = np.asarray(Image.open(str(tmp_path / "in_resized.png")))
     assert out.shape == (32, 32, 3)
+
+
+def test_lane_pack_matches_direct(spec, params):
+    """lane_pack=True: packed convs (incl. the r^2-lane head) equal the
+    direct stack up to f32 summation order."""
+    lr = np.random.default_rng(88).uniform(0, 255, (17, 23)).astype(np.float32)
+    base = np.asarray(espcn.forward_lr(params, jnp.asarray(lr), spec,
+                                       clamp=False))
+    packed = np.asarray(espcn.forward_lr(params, jnp.asarray(lr), spec,
+                                         clamp=False, lane_pack=True))
+    np.testing.assert_allclose(packed, base, rtol=2e-6, atol=2e-3)

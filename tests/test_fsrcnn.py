@@ -153,3 +153,21 @@ def test_subpixel_deconv_equals_conv_transpose(k, r):
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=0, atol=1e-4)
+
+
+def test_lane_pack_matches_direct(params, spec):
+    """lane_pack=True is the same stack through packed-GEMM convs +
+    packed sub-pixel deconv: equal up to f32 summation order."""
+    lr = np.random.default_rng(77).uniform(0, 255, (21, 19)).astype(np.float32)
+    base = np.asarray(fsrcnn.forward_lr(params, jnp.asarray(lr), spec,
+                                        clamp=False))
+    packed = np.asarray(fsrcnn.forward_lr(params, jnp.asarray(lr), spec,
+                                          clamp=False, lane_pack=True))
+    np.testing.assert_allclose(packed, base, rtol=2e-6, atol=2e-3)
+
+    x3 = fsrcnn.FSRCNNSpec(scale=3, d=16, s=8, m=2)
+    p3 = fsrcnn.init_params(jax.random.key(1), x3)
+    base3 = np.asarray(fsrcnn.forward_lr(p3, jnp.asarray(lr), x3, clamp=False))
+    packed3 = np.asarray(fsrcnn.forward_lr(p3, jnp.asarray(lr), x3,
+                                           clamp=False, lane_pack=True))
+    np.testing.assert_allclose(packed3, base3, rtol=2e-6, atol=2e-3)

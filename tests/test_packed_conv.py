@@ -68,3 +68,23 @@ def test_best_phases():
     for cout in (1, 8, 32, 64, 100, 128, 200):
         p = packed_conv.best_phases(3, cout)
         assert p >= 1
+
+
+@pytest.mark.parametrize("pads", [((0, 0), (0, 0)), ((2, 2), (2, 2)),
+                                  ((1, 3), (3, 1)), ((4, 4), (4, 4))])
+@pytest.mark.parametrize("p", [1, 3, 4, 7])
+def test_explicit_zero_padding_matches(pads, p):
+    """packed_conv with explicit zero pads == direct VALID conv on the
+    padded plane (the FSRCNN sub-pixel deconv / ESPCN head shape)."""
+    rng = np.random.default_rng(p * 31 + pads[0][0])
+    x = jnp.asarray(rng.normal(size=(1, 11, 19, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(5, 5, 8, 4)).astype(np.float32))
+    got = packed_conv.packed_conv(x, w, p, pads, lax.Precision.HIGHEST)
+    want = lax.conv_general_dilated(
+        x, w, (1, 1), list(pads),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-5)
