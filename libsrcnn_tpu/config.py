@@ -76,6 +76,15 @@ class SRCNNConfig:
         tools/train_vdsr.py) ships one scale-agnostic checkpoint serving
         any factor, including fractional and step-scale chains -- the
         zoo's strongest quality tier (EVAL.md).
+      lane_pack: run the learned families' convs in the MXU-lane-packed
+        formulation (:mod:`libsrcnn_tpu.ops.packed_conv`): p adjacent
+        output columns share the lane dimension, lifting the 128-lane
+        ceiling that narrow stacks (vdsr ch=32, fsrcnn s=12, the r^2
+        sub-pixel heads) otherwise waste.  Same f32 MACs in a different
+        reduction order.  ``None`` (default) auto-selects: packed on TPU
+        for the family models, direct elsewhere; ignored by the srcnn
+        model (its fused kernel owns the conv stack, and the golden gate
+        pins its reduction order).
     """
 
     filter: FilterType = FilterType.BICUBIC
@@ -85,6 +94,7 @@ class SRCNNConfig:
     emit_conv_map: bool = False
     use_pallas: bool | None = None
     model: str = "srcnn"
+    lane_pack: bool | None = None
 
 
 DEFAULT_CONFIG = SRCNNConfig()

@@ -31,11 +31,13 @@ from .. import pipeline
 
 @functools.lru_cache(maxsize=64)
 def _batch_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh,
-              model="srcnn", spec=None, compute_dtype="float32"):
+              model="srcnn", spec=None, compute_dtype="float32",
+              lane_pack=False):
     body = functools.partial(
         pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
         filter_type=filter_type, use_pallas=use_pallas,
         compute_dtype=compute_dtype, model=model, fsrcnn_spec=spec,
+        lane_pack=lane_pack,
     )
     vbody = jax.vmap(body, in_axes=(0, None))
     # shard_map, not GSPMD annotations: each device runs the full per-frame
@@ -70,18 +72,21 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
                                                  dst_h, dst_w, multiply)
     fn = _batch_fn(h, w, d, dst_h, dst_w, int(cfg.filter),
                    pipeline.resolve_pallas(cfg.use_pallas), mesh,
-                   cfg.model, spec, cfg.compute_dtype)
+                   cfg.model, spec, cfg.compute_dtype,
+                   pipeline.resolve_lane_pack(cfg.lane_pack, cfg.model))
     return fn(images, params)
 
 
 @functools.lru_cache(maxsize=64)
 def _spatial_fn(h, w, d, dst_h, dst_w, filter_type, mesh,
-                model="srcnn", spec=None, compute_dtype="float32"):
+                model="srcnn", spec=None, compute_dtype="float32",
+                lane_pack=False):
     def body(img, params):
         out, conv = pipeline._single_pass(
             img, params, dst_h=dst_h, dst_w=dst_w,
             filter_type=filter_type, use_pallas=False,
             compute_dtype=compute_dtype, model=model, fsrcnn_spec=spec,
+            lane_pack=lane_pack,
         )
         spatial = NamedSharding(mesh, P("row", "col"))
         out = jax.lax.with_sharding_constraint(
@@ -104,6 +109,11 @@ def upscale_spatial(image, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh
     pipeline that runs the fused Pallas kernel per shard, use
     :func:`libsrcnn_tpu.parallel.tiled.upscale_tiled` (see PARITY.md for
     the measured comparison).
+
+    Family models with ``lane_pack`` resolved on: GSPMD's partitioned
+    reductions can flip u8 rounding ties vs the single-device result
+    (<=1 LSB; the srcnn bit-identity invariant is unaffected -- srcnn
+    never packs).
     """
     if cfg.self_ensemble:
         raise ValueError("self_ensemble is not implemented for the "
@@ -119,5 +129,6 @@ def upscale_spatial(image, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh
     params, spec = pipeline.prepare_model_params(cfg, params, h, w,
                                                  dst_h, dst_w, multiply)
     fn = _spatial_fn(h, w, d, dst_h, dst_w, int(cfg.filter), mesh,
-                     cfg.model, spec, cfg.compute_dtype)
+                     cfg.model, spec, cfg.compute_dtype,
+                     pipeline.resolve_lane_pack(cfg.lane_pack, cfg.model))
     return fn(image, params)

@@ -98,7 +98,8 @@ def prepare_model_params(cfg: "SRCNNConfig", params: dict, h: int, w: int,
 
 
 def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
-                 compute_dtype="float32", model="srcnn", fsrcnn_spec=None):
+                 compute_dtype="float32", model="srcnn", fsrcnn_spec=None,
+                 lane_pack=False):
     """Trace-time builder: [H,W,D] u8 -> ([dst_h,dst_w,D] u8, [dst_h,dst_w] u8).
 
     Mirrors `doSRCNN` (`libsrcnn.cpp:628-923`): the second output is the
@@ -120,12 +121,17 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
     if model in LR_FAMILIES:
         mod = _lr_family(model)
         y_sr = mod.forward_lr(params, planes[0], fsrcnn_spec,
-                              precision=family_precision(compute_dtype))
+                              precision=family_precision(compute_dtype),
+                              lane_pack=bool(lane_pack))
     elif model in HR_FAMILIES:
+        from .ops import packed_conv
+
         mod = _lr_family(model)
         y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
+        p = (packed_conv.best_phases(3, fsrcnn_spec.ch) if lane_pack else 1)
         y_sr = mod.forward_hr(params, y_r, fsrcnn_spec,
-                              precision=family_precision(compute_dtype))
+                              precision=family_precision(compute_dtype),
+                              lane_pack=p)
     elif compute_dtype == "int8" and use_pallas:
         from .kernels import fused_conv
 
@@ -176,12 +182,13 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
 def compiled_pass(h: int, w: int, d: int, dst_h: int, dst_w: int,
                   filter_type: int, use_pallas: bool,
                   compute_dtype: str = "float32", model: str = "srcnn",
-                  fsrcnn_spec=None):
+                  fsrcnn_spec=None, lane_pack: bool = False):
     """JIT-compiled single pass for one static shape configuration."""
     fn = functools.partial(
         _single_pass, dst_h=dst_h, dst_w=dst_w,
         filter_type=filter_type, use_pallas=use_pallas,
         compute_dtype=compute_dtype, model=model, fsrcnn_spec=fsrcnn_spec,
+        lane_pack=lane_pack,
     )
     return jax.jit(fn)
 
@@ -232,6 +239,21 @@ def resolve_pallas(use_pallas) -> bool:
     return bool(use_pallas)
 
 
+def resolve_lane_pack(lane_pack, model: str) -> bool:
+    """``None`` -> auto: the MXU-lane-packed conv formulation on TPU for
+    the learned families (measured winner -- PERF.md "lane packing"),
+    the direct convs elsewhere (on CPU the packing is pure overhead).
+    The srcnn model ignores the flag: its conv stack is owned by the
+    fused kernel / golden-gated XLA path."""
+    if model == "srcnn":
+        return False
+    if lane_pack is None:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    return bool(lane_pack)
+
+
 def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
     """One resize+model pass; returns (out_u8, conv_u8) device arrays."""
     h, w, d = img_u8.shape
@@ -242,5 +264,6 @@ def run_pass(img_u8, params, multiply: float, cfg: SRCNNConfig):
                                         multiply)
     fn = compiled_pass(h, w, d, dst_h, dst_w, int(cfg.filter),
                        resolve_pallas(cfg.use_pallas), cfg.compute_dtype,
-                       cfg.model, spec)
+                       cfg.model, spec,
+                       resolve_lane_pack(cfg.lane_pack, cfg.model))
     return fn(img_u8, params)

@@ -76,7 +76,8 @@ def _pass_geometry(frames, params, scale: float, config: SRCNNConfig):
     """Shared prologue of the compiled passes: resolve the output
     geometry, split the model spec, and build the static key used by the
     compile caches.  Returns (params, static_key) where static_key is
-    (h, w, d, dst_h, dst_w, filter, use_pallas, dtype, model, spec)."""
+    (h, w, d, dst_h, dst_w, filter, use_pallas, dtype, model, spec,
+    lane_pack)."""
     from .ops import resize as _resize
 
     h, w, d = frames.shape[-3:]
@@ -85,17 +86,20 @@ def _pass_geometry(frames, params, scale: float, config: SRCNNConfig):
                                                  dst_h, dst_w, scale)
     return params, (h, w, d, dst_h, dst_w, int(config.filter),
                     pipeline.resolve_pallas(config.use_pallas),
-                    config.compute_dtype, config.model, spec)
+                    config.compute_dtype, config.model, spec,
+                    pipeline.resolve_lane_pack(config.lane_pack,
+                                               config.model))
 
 
 def _single_pass_body(dst_h, dst_w, filter_type, use_pallas, dtype,
-                      model, spec):
+                      model, spec, lane_pack=False):
     """The (img, params) pass body with every static bound -- the one
     place the _single_pass kwargs are spelled out for the serve paths."""
     return functools.partial(pipeline._single_pass, dst_h=dst_h,
                              dst_w=dst_w, filter_type=filter_type,
                              use_pallas=use_pallas, compute_dtype=dtype,
-                             model=model, fsrcnn_spec=spec)
+                             model=model, fsrcnn_spec=spec,
+                             lane_pack=lane_pack)
 
 
 def _batch_pass(frames, params, scale: float, config: SRCNNConfig):
@@ -120,9 +124,10 @@ def _ensemble_body(img, params, *, body):
 
 @functools.lru_cache(maxsize=32)
 def _compiled_ensemble(h, w, d, dst_h, dst_w, filter_type, use_pallas, dtype,
-                       model="srcnn", spec=None, batched=False):
+                       model="srcnn", spec=None, lane_pack=False,
+                       batched=False):
     body = _single_pass_body(dst_h, dst_w, filter_type, use_pallas, dtype,
-                             model, spec)
+                             model, spec, lane_pack)
     fn = functools.partial(_ensemble_body, body=body)
     if batched:
         fn = jax.vmap(fn, in_axes=(0, None))
@@ -139,9 +144,9 @@ def _ensemble_pass(frames, params, scale: float, config: SRCNNConfig,
 
 @functools.lru_cache(maxsize=32)
 def _compiled_batch(h, w, d, dst_h, dst_w, filter_type, use_pallas, dtype,
-                    model="srcnn", spec=None):
+                    model="srcnn", spec=None, lane_pack=False):
     body = _single_pass_body(dst_h, dst_w, filter_type, use_pallas, dtype,
-                             model, spec)
+                             model, spec, lane_pack)
     return jax.jit(jax.vmap(body, in_axes=(0, None)))
 
 

@@ -88,3 +88,55 @@ def test_explicit_zero_padding_matches(pads, p):
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-6, atol=2e-5)
+
+
+def test_cfg_plumbing_matches_unpacked():
+    """SRCNNConfig(lane_pack=True) reaches the family forwards through
+    the pipeline: u8 outputs match the direct path (f32-rounding-level
+    differences can move a u8 by 1 at ties)."""
+    import libsrcnn_tpu as lt
+
+    img = np.random.default_rng(9).integers(0, 256, (20, 18, 3), np.uint8)
+    base = lt.upscale(img, 2.5, lt.SRCNNConfig(model="vdsr",
+                                               lane_pack=False))
+    packed = lt.upscale(img, 2.5, lt.SRCNNConfig(model="vdsr",
+                                                 lane_pack=True))
+    assert np.abs(base.astype(int) - packed.astype(int)).max() <= 1
+
+
+def test_cfg_srcnn_ignores_lane_pack():
+    """The srcnn family's golden gate pins its reduction order: lane_pack
+    resolves to off regardless of the flag."""
+    from libsrcnn_tpu import pipeline
+
+    assert pipeline.resolve_lane_pack(True, "srcnn") is False
+    assert pipeline.resolve_lane_pack(None, "srcnn") is False
+    assert pipeline.resolve_lane_pack(True, "vdsr") is True
+    assert pipeline.resolve_lane_pack(False, "vdsr") is False
+    # None = auto: off on the CPU test backend
+    assert pipeline.resolve_lane_pack(None, "vdsr") is False
+
+
+def test_gspmd_spatial_packed_matches_single():
+    """Packed convs under GSPMD spatial partitioning on the virtual mesh:
+    the stride-p conv + reshape must survive W-axis sharding.  GSPMD's
+    partitioned reduction order can flip u8 rounding ties (observed: one
+    pixel in 9216), so the family-model contract here is <=1 LSB -- the
+    bit-identity invariant belongs to the srcnn golden paths, where
+    lane_pack never applies."""
+    import jax
+    import jax.numpy as jnp
+
+    import libsrcnn_tpu as lt
+    from libsrcnn_tpu import pipeline
+    from libsrcnn_tpu.parallel import sharding
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    cfg = lt.SRCNNConfig(model="espcn", lane_pack=True)
+    params = pipeline.load_model_params(cfg, 2.0)
+    img = np.random.default_rng(10).integers(0, 256, (24, 32, 3), np.uint8)
+    mesh = make_mesh({"data": 1, "row": 2, "col": 4})
+    out, _ = sharding.upscale_spatial(jnp.asarray(img), params, 2.0, cfg,
+                                      mesh)
+    ref = lt.upscale(img, 2.0, cfg)
+    assert np.abs(np.asarray(out).astype(int) - ref.astype(int)).max() <= 1
