@@ -37,7 +37,8 @@ WEIGHTS_OUT = os.path.join(os.path.dirname(__file__), "..", "libsrcnn_tpu",
 SCALES = (2, 3, 4)
 
 
-def build_pair_pool(images, n_patches: int, patch: int, seed: int = 0):
+def build_pair_pool(images, n_patches: int, patch: int, seed: int = 0,
+                    content_scales: tuple = ()):
     """(interp [N,p,p], hr [N,p,p]) with the x2/x3/x4 degradations mixed.
 
     ``patch`` must be divisible by every scale (lcm 12) so the LR sizes
@@ -45,17 +46,45 @@ def build_pair_pool(images, n_patches: int, patch: int, seed: int = 0):
     inference.
     """
     import jax
+
+    assert all(patch % s == 0 for s in SCALES), patch
+
+    # One-time host work: every distinct resize shape below would cost a
+    # 10-40 s remote compile through the TPU relay; the CPU backend
+    # computes the same table-gather math in milliseconds (f32 rounding
+    # differs from the chip's 3-pass HIGHEST by ~1e-7 rel — irrelevant
+    # for a training pool).
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        return _build_pair_pool_on(images, n_patches, patch, seed,
+                                   content_scales)
+
+
+def _build_pair_pool_on(images, n_patches: int, patch: int, seed: int,
+                        content_scales: tuple):
+    import jax
     import jax.numpy as jnp
 
     from libsrcnn_tpu.config import FilterType
     from libsrcnn_tpu.ops import color, resize
 
-    assert all(patch % s == 0 for s in SCALES), patch
-
     planes = []
     for img in images:
         y = np.asarray(color.rgb_to_ycbcr(jnp.asarray(img))[0])
-        planes.extend(dihedral_variants(y))
+        # optional multi-scale CONTENT augmentation (VDSR paper trains on
+        # multiple scales of each image): downscaled copies contribute
+        # different texture statistics from the same pixels, the standard
+        # remedy when the corpus is tiny.  The degradation model of the
+        # PAIRS is untouched (still the reference-exact bicubic round
+        # trip below).  Off by default: the shipped checkpoint was
+        # trained without it.
+        versions = [y]
+        for f in content_scales:
+            vh, vw = int(y.shape[0] * f), int(y.shape[1] * f)
+            versions.append(np.asarray(resize.resize_plane(
+                jnp.asarray(y), vh, vw, FilterType.BICUBIC)))
+        for v in versions:
+            planes.extend(dihedral_variants(v))
 
     rng = np.random.default_rng(seed)
     hr = np.empty((n_patches, patch, patch), np.float32)
@@ -116,6 +145,9 @@ def main(argv=None) -> int:
     ap.add_argument("--ch", type=int, default=32)
     ap.add_argument("--eval-every", type=int, default=250)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--content-scales", default="",
+                    help="comma-separated extra content zooms for the "
+                         "pool (e.g. '0.7,0.5'); empty = shipped recipe")
     ap.add_argument("--out", default=os.path.abspath(WEIGHTS_OUT))
     args = ap.parse_args(argv)
 
@@ -129,8 +161,9 @@ def main(argv=None) -> int:
     images = corpus_images()
     print(f"corpus: {len(images)} images, butterfly held out; "
           f"model {spec.name}", flush=True)
+    cscales = tuple(float(f) for f in args.content_scales.split(",") if f)
     interp_pool, hr_pool = build_pair_pool(images, args.pool, args.patch,
-                                           args.seed)
+                                           args.seed, cscales)
     print(f"pool: {args.pool} same-size pairs {args.patch}^2, "
           f"scales {SCALES} mixed", flush=True)
 
