@@ -64,3 +64,37 @@ def test_random_step_scale(seed):
         sw = int(np.float32(sw) * curmf)
         sh = int(np.float32(sh) * curmf)
     assert out.shape == (sh, sw, 3)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_packed_conv_matches_direct(seed):
+    """Random (kernel, width, phases, pads) through ops.packed_conv vs
+    the direct conv -- degenerate widths (W < p, W = 1) included."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from libsrcnn_tpu.ops import packed_conv
+
+    rng = np.random.default_rng(3000 + seed)
+    kh = int(rng.choice([1, 3, 5, 9]))
+    kw = int(rng.choice([1, 3, 5, 9]))
+    cin = int(rng.integers(1, 9))
+    cout = int(rng.integers(1, 9))
+    h = int(rng.integers(kh, kh + 12))
+    wid = int(rng.integers(1, 30))
+    p = int(rng.integers(2, 16))
+    pw = int(rng.integers(0, kw))  # keep every output inside the support
+    pads = ((int(rng.integers(0, kh)), int(rng.integers(0, kh))), (pw, pw))
+    if h + pads[0][0] + pads[0][1] < kh or wid + 2 * pw < kw:
+        pads = ((kh - 1, kh - 1), (kw - 1, kw - 1))
+    x = jnp.asarray(rng.normal(size=(1, h, wid, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(kh, kw, cin, cout)).astype(np.float32))
+    got = packed_conv.packed_conv(x, w, p, pads, lax.Precision.HIGHEST)
+    want = lax.conv_general_dilated(
+        x, w, (1, 1), list(pads),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST)
+    assert got.shape == want.shape, (seed, got.shape, want.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=1e-4)
