@@ -146,3 +146,14 @@ def test_lane_pack_matches_direct(spec, params):
     packed = np.asarray(espcn.forward_lr(params, jnp.asarray(lr), spec,
                                          clamp=False, lane_pack=True))
     np.testing.assert_allclose(packed, base, rtol=2e-6, atol=2e-3)
+
+
+def test_lane_pack_matches_direct_x3():
+    """x3 head: the 9-channel sub-pixel output packs differently."""
+    s3 = espcn.ESPCNSpec(scale=3, f1=16, f2=8)
+    p3 = espcn.init_params(jax.random.key(9), s3)
+    lr = np.random.default_rng(89).uniform(0, 255, (13, 11)).astype(np.float32)
+    base = np.asarray(espcn.forward_lr(p3, jnp.asarray(lr), s3, clamp=False))
+    packed = np.asarray(espcn.forward_lr(p3, jnp.asarray(lr), s3,
+                                         clamp=False, lane_pack=True))
+    np.testing.assert_allclose(packed, base, rtol=2e-6, atol=2e-3)
