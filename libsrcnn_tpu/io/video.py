@@ -1,19 +1,106 @@
-"""Animated-image (GIF/APNG/WebP) frame I/O for the serving layer.
+"""Video and animated-image frame I/O for the serving layer.
 
 The reference is a stills library (one `ProcessSRCNN` per image,
 `/root/reference/src/test.cpp:653-672`); this module rounds out the
-framework's video story: decode an animation into u8 frames, stream them
-through :class:`libsrcnn_tpu.serve.VideoUpscaler`, re-encode.  PIL is the
-codec (same dependency the stills CLI already uses); real deployments
-would feed :func:`serve.stream_from_ring` from a hardware decoder
-instead.
+framework's video story across two codec tiers:
+
+* animations (GIF/APNG/WebP) -- PIL, decoded fully (they are small);
+* real video containers (.mp4/.avi/.mov/.mkv/.webm/.m4v) -- OpenCV's
+  ffmpeg backend, STREAMED: frames are decoded, pushed through the
+  batched device path, and re-encoded incrementally, so memory stays
+  O(batch), not O(video).
+
+Either tier can feed either sink (gif -> mp4 transcodes, mp4 -> gif
+works for short clips).  Real deployments with hardware decoders can
+bypass this module and feed :func:`serve.stream_from_ring` directly.
 """
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Iterator
 
 import numpy as np
+
+#: extensions routed to the OpenCV (ffmpeg) codec tier
+VIDEO_EXTS = frozenset({".mp4", ".m4v", ".mov", ".avi", ".mkv", ".webm"})
+
+#: encoder fourcc by output extension (cv2's builds here lack H.264
+#: encode -- mp4v/MJPG/XVID are the portable software encoders)
+_FOURCC = {".mp4": "mp4v", ".m4v": "mp4v", ".mov": "mp4v",
+           ".avi": "XVID", ".mkv": "XVID", ".webm": "XVID"}
+
+
+def is_video(path: str) -> bool:
+    """True when ``path``'s container belongs to the OpenCV tier."""
+    return os.path.splitext(path)[1].lower() in VIDEO_EXTS
+
+
+def _cv2():
+    try:
+        import cv2
+    except ImportError as e:  # pragma: no cover - cv2 is baked in here
+        raise RuntimeError(
+            "video containers (.mp4/.avi/...) need OpenCV; re-encode as "
+            "GIF/WebP for the PIL tier or install opencv-python") from e
+    return cv2
+
+
+def iter_video(path: str) -> Iterator[np.ndarray]:
+    """Stream [H, W, 3] RGB u8 frames from a video container."""
+    cv2 = _cv2()
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError(f"cannot decode video {path!r}")
+    try:
+        while True:
+            ok, bgr = cap.read()
+            if not ok:
+                break
+            yield np.ascontiguousarray(bgr[:, :, ::-1])
+    finally:
+        cap.release()
+
+
+def video_fps(path: str) -> float:
+    cv2 = _cv2()
+    cap = cv2.VideoCapture(path)
+    try:
+        fps = float(cap.get(cv2.CAP_PROP_FPS))
+    finally:
+        cap.release()
+    return fps if fps > 0 else 25.0
+
+
+class VideoSink:
+    """Incremental video encoder; opens on the first frame (the writer
+    needs the output geometry, which only the first upscaled frame
+    knows)."""
+
+    def __init__(self, path: str, fps: float):
+        self._path = path
+        self._fps = fps
+        self._writer = None
+        self.frames = 0
+
+    def write(self, rgb: np.ndarray) -> None:
+        cv2 = _cv2()
+        if self._writer is None:
+            h, w = rgb.shape[:2]
+            ext = os.path.splitext(self._path)[1].lower()
+            fourcc = cv2.VideoWriter_fourcc(*_FOURCC.get(ext, "mp4v"))
+            self._writer = cv2.VideoWriter(self._path, fourcc, self._fps,
+                                           (w, h))
+            if not self._writer.isOpened():
+                raise ValueError(f"cannot open encoder for {self._path!r}")
+        self._writer.write(np.asarray(rgb, np.uint8)[:, :, ::-1])
+        self.frames += 1
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
 
 
 def read_frames(path: str) -> tuple[list[np.ndarray], int]:
@@ -51,25 +138,59 @@ def upscale_video(src: str, dst: str, scale: float = 2.0,
 
     ``batch`` groups frames into one vmapped device dispatch each (the
     small-frame throughput path, PERF.md); ``batch=None`` streams frame
-    by frame through :class:`VideoUpscaler` (lowest latency).
+    by frame through :class:`VideoUpscaler` (lowest latency).  Source
+    and destination containers are independent: animations decode via
+    PIL, video files stream via OpenCV (see module docstring).
     """
     from ..config import DEFAULT_CONFIG
     from .. import serve
 
     config = config or DEFAULT_CONFIG
-    frames, duration = read_frames(src)
-    if not frames:
-        raise ValueError(f"no frames decoded from {src}")
-    if batch:
-        outs = []
-        for i in range(0, len(frames), batch):
-            clip = np.stack(frames[i:i + batch])
-            outs.extend(serve.upscale_frames(clip, scale, config))
+    if is_video(src):
+        source: Iterator[np.ndarray] = iter_video(src)
+        duration = int(round(1000.0 / video_fps(src)))
     else:
-        up = serve.VideoUpscaler(scale, config)
-        outs = list(up.stream(iter(frames)))
+        frames, duration = read_frames(src)
+        if not frames:
+            raise ValueError(f"no frames decoded from {src}")
+        source = iter(frames)
+
+    def upscaled() -> Iterator[np.ndarray]:
+        if batch:
+            while True:
+                clip = list(_take(source, batch))
+                if not clip:
+                    return
+                yield from serve.upscale_frames(np.stack(clip), scale,
+                                                config)
+        else:
+            up = serve.VideoUpscaler(scale, config)
+            yield from up.stream(source)
+
+    if is_video(dst):
+        sink = VideoSink(dst, 1000.0 / max(duration, 1))
+        try:
+            for f in upscaled():
+                sink.write(f)
+        finally:
+            sink.close()
+        if sink.frames == 0:
+            raise ValueError(f"no frames decoded from {src}")
+        return sink.frames
+    outs = list(upscaled())
+    if not outs:
+        raise ValueError(f"no frames decoded from {src}")
     write_frames(dst, outs, duration)
     return len(outs)
+
+
+def _take(it: Iterator[np.ndarray], n: int) -> list[np.ndarray]:
+    out = []
+    for f in it:
+        out.append(f)
+        if len(out) == n:
+            break
+    return out
 
 
 def main(argv=None) -> int:
@@ -105,17 +226,17 @@ def main(argv=None) -> int:
         elif dst is None:
             dst = arg
     if src is None:
-        raise SystemExit("usage: srcnn-tpu-video <in.gif> [out.gif] "
-                         "--scale=F --model=srcnn|fsrcnn|espcn|vdsr "
+        raise SystemExit("usage: srcnn-tpu-video <in.(gif|mp4|avi|...)> "
+                         "[out] --scale=F "
+                         "--model=srcnn|fsrcnn|espcn|vdsr "
                          "--filter=0..4 --batch=N --bf16 --ensemble")
     if dst is None:
-        # keep the source container for animations (_auto_name picks .png,
-        # which would silently re-wrap a GIF as APNG)
-        import os
-
+        # keep the source container for animations and videos (_auto_name
+        # picks .png, which would silently re-wrap a GIF as APNG)
         root, ext = os.path.splitext(src)
-        dst = (f"{root}_resized{ext}" if ext.lower() in
-               (".gif", ".webp", ".apng") else _auto_name(src, "resized"))
+        dst = (f"{root}_resized{ext}"
+               if ext.lower() in (".gif", ".webp", ".apng") or is_video(src)
+               else _auto_name(src, "resized"))
     cfg = SRCNNConfig(filter=filt, model=model, compute_dtype=dtype,
                       self_ensemble=ensemble)
     t0 = get_tick_count()

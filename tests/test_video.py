@@ -62,3 +62,65 @@ def test_video_cli(gif, tmp_path, monkeypatch):
     assert rc == 0
     got, _ = video.read_frames(out_path)
     assert len(got) == 3 and got[0].shape == (40, 48, 3)
+
+
+@pytest.fixture(scope="module")
+def mp4(tmp_path_factory):
+    """A 7-frame 32x24 mp4 with smooth content (codec-friendly)."""
+    cv2 = pytest.importorskip("cv2")
+    path = str(tmp_path_factory.mktemp("vid") / "clip.mp4")
+    wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 20.0,
+                         (32, 24))
+    assert wr.isOpened()
+    yy, xx = np.mgrid[0:24, 0:32]
+    frames = []
+    for t in range(7):
+        f = ((yy * 5 + xx * 3 + t * 11) % 256).astype(np.uint8)
+        rgb = np.stack([f, 255 - f, np.full_like(f, 40 + 10 * t)], axis=-1)
+        frames.append(rgb)
+        wr.write(rgb[:, :, ::-1])  # sink takes BGR
+    wr.release()
+    return path, frames
+
+
+def test_iter_video_decodes_rgb(mp4):
+    path, frames = mp4
+    got = list(video.iter_video(path))
+    assert len(got) == 7
+    assert got[0].shape == (24, 32, 3)
+    # mp4v is lossy but the gradient survives closely
+    err = np.abs(got[3].astype(int) - frames[3].astype(int)).mean()
+    assert err < 8.0, err
+    assert abs(video.video_fps(path) - 20.0) < 0.5
+
+
+def test_upscale_video_mp4_roundtrip(mp4, tmp_path):
+    """mp4 in -> batched device path -> mp4 out, streamed (O(batch)
+    memory); geometry, frame count and fps survive."""
+    path, frames = mp4
+    dst = str(tmp_path / "clip_up.mp4")
+    n = video.upscale_video(path, dst, 2.0, batch=4)
+    assert n == 7
+    got = list(video.iter_video(dst))
+    assert len(got) == 7 and got[0].shape == (48, 64, 3)
+    assert abs(video.video_fps(dst) - 20.0) < 0.5
+    # content sanity vs the still API (two lossy encodes in the chain)
+    want = upscale(frames[0], 2.0)
+    err = np.abs(got[0].astype(int) - want.astype(int)).mean()
+    assert err < 12.0, err
+
+
+def test_upscale_video_gif_to_mp4(gif, tmp_path):
+    """Cross-tier transcode: PIL animation source, OpenCV sink; the
+    animation's frame duration becomes the video fps."""
+    path, _ = gif
+    dst = str(tmp_path / "anim.mp4")
+    n = video.upscale_video(path, dst, 2.0, batch=2)
+    assert n == 3
+    got = list(video.iter_video(dst))
+    assert len(got) == 3 and got[0].shape == (40, 48, 3)
+
+
+def test_is_video_and_auto_name():
+    assert video.is_video("a/clip.MP4") and video.is_video("x.webm")
+    assert not video.is_video("a.gif") and not video.is_video("a.png")
