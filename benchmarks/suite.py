@@ -224,17 +224,29 @@ def bench_models(size=1024, scale=2.0):
     img = jax.device_put(jnp.asarray(
         rng.integers(0, 256, (size, size, 3), np.uint8)))
     out_mp = (size * scale) ** 2 / 1e6
-    print(f"model zoo, {size}^2 -> x{scale} end-to-end "
-          f"(exact f32 / bf16 throughput tier):")
+    print(f"model zoo, {size}^2 -> x{scale} end-to-end; per tier "
+          f"direct vs lane-packed convs (ops/packed_conv.py):")
+    print(f"  {'':8s}  {'exact f32':>22s} {'+pack':>10s}"
+          f"  {'bf16':>22s} {'+pack':>10s}")
     for model in ("srcnn", "fsrcnn", "espcn", "vdsr"):
         line = f"  {model:8s}"
         for dtype in ("float32", "bfloat16"):
-            cfg = SRCNNConfig(model=model, compute_dtype=dtype)
-            params = {k: (v if k == "__spec__" else jax.device_put(v))
-                      for k, v in
-                      pipeline.load_model_params(cfg, scale).items()}
-            ms = _time(lambda: pipeline.run_pass(img, params, scale, cfg))
-            line += f"  {ms:8.1f} ms {out_mp / (ms / 1e3):8.1f} MP/s"
+            for pack in (False, True):
+                if pack and model == "srcnn":
+                    line += f" {'(gated)':>10s}"
+                    continue
+                cfg = SRCNNConfig(model=model, compute_dtype=dtype,
+                                  lane_pack=pack)
+                params = {k: (v if k == "__spec__" else jax.device_put(v))
+                          for k, v in
+                          pipeline.load_model_params(cfg, scale).items()}
+                ms = _time(lambda: pipeline.run_pass(img, params, scale,
+                                                     cfg))
+                if pack:
+                    line += f" {ms:6.1f} ms({out_mp / (ms / 1e3):4.0f})"
+                else:
+                    line += (f"  {ms:8.1f} ms "
+                             f"{out_mp / (ms / 1e3):8.1f} MP/s")
         print(line, flush=True)
 
 
