@@ -140,3 +140,25 @@ def test_gspmd_spatial_packed_matches_single():
                                       mesh)
     ref = lt.upscale(img, 2.0, cfg)
     assert np.abs(np.asarray(out).astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_batch_mesh_packed_bit_identical():
+    """upscale_batch shards FRAMES (each device runs the whole pipeline
+    locally), so packed convs stay bit-identical to single-device --
+    unlike the GSPMD spatial case above."""
+    import jax.numpy as jnp
+
+    import libsrcnn_tpu as lt
+    from libsrcnn_tpu import pipeline
+    from libsrcnn_tpu.parallel import sharding
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    cfg = lt.SRCNNConfig(model="fsrcnn", lane_pack=True)
+    params = pipeline.load_model_params(cfg, 2.0)
+    imgs = np.random.default_rng(11).integers(0, 256, (4, 20, 24, 3),
+                                              np.uint8)
+    mesh = make_mesh({"data": 4, "row": 2, "col": 1})
+    out, _ = sharding.upscale_batch(jnp.asarray(imgs), params, 2.0, cfg,
+                                    mesh)
+    ref = lt.upscale(imgs[2], 2.0, cfg)
+    np.testing.assert_array_equal(np.asarray(out)[2], ref)
