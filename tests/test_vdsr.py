@@ -143,3 +143,26 @@ def test_lane_pack_matches_direct():
     packed = np.asarray(vdsr.forward_hr(params, y, spec, clamp=False,
                                         lane_pack=4))
     np.testing.assert_allclose(packed, base, rtol=2e-6, atol=2e-3)
+
+
+def test_lane_pack_gradients_match_direct():
+    """Autodiff through the packed formulation lands the same gradients
+    on the true [3,3,ch,ch] parameters (the weight expansion is linear,
+    so grads fold back exactly up to f32 order)."""
+    import jax
+    import jax.numpy as jnp
+
+    vdsr, params, spec = _init(depth=5, ch=8)
+    y = jnp.asarray(np.random.default_rng(12).uniform(
+        0, 255, (2, 16, 20)).astype(np.float32))
+    t = y * 0.9 + 3.0
+
+    def loss(p, lane_pack):
+        out = vdsr.forward_hr(p, y, spec, clamp=False, lane_pack=lane_pack)
+        return jnp.mean((out - t) ** 2)
+
+    g1 = jax.grad(lambda p: loss(p, 1))(params)
+    g4 = jax.grad(lambda p: loss(p, 4))(params)
+    for k in g1:
+        np.testing.assert_allclose(np.asarray(g4[k]), np.asarray(g1[k]),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)

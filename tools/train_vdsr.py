@@ -148,6 +148,10 @@ def main(argv=None) -> int:
     ap.add_argument("--content-scales", default="",
                     help="comma-separated extra content zooms for the "
                          "pool (e.g. '0.7,0.5'); empty = shipped recipe")
+    ap.add_argument("--lane-pack", type=int, default=0,
+                    help="train through the MXU-lane-packed formulation "
+                         "(ops/packed_conv.py; 0 = direct convs; 4 = "
+                         "ch=32 optimum, ~2x step time on TPU)")
     ap.add_argument("--out", default=os.path.abspath(WEIGHTS_OUT))
     args = ap.parse_args(argv)
 
@@ -173,7 +177,8 @@ def main(argv=None) -> int:
     # VDSR recipe: high lr + gradient clipping (the residual path keeps
     # early training stable; clipping guards the deep stack)
     schedule = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
-    t = trainer.Trainer(params=params, forward=vdsr.make_loss_forward(spec))
+    t = trainer.Trainer(params=params, forward=vdsr.make_loss_forward(
+        spec, lane_pack=max(args.lane_pack, 1)))
     t.optimizer = optax.chain(optax.clip_by_global_norm(1.0),
                               optax.adam(schedule))
     t.opt_state = t.optimizer.init(t.params)
