@@ -2,6 +2,11 @@
 
 Simulates a 24-frame clip; with the native library built (`make -C native`)
 a producer thread feeds a lock-free ring like a real decoder would.
+
+For real video files there is a one-liner instead -- the CLI streams
+mp4/avi/mkv/webm (OpenCV tier) or GIF/WebP animations (PIL tier):
+
+    python -m libsrcnn_tpu.io.video clip.mp4 --scale=2 --model=espcn
 """
 
 import os
