@@ -23,13 +23,14 @@ from trace_kernel import report  # noqa: E402  (same xplane parsing)
 
 
 def capture(model: str, size: int, scale: float, dtype: str,
-            iters: int) -> tuple[str, float]:
+            iters: int, lane_pack) -> tuple[str, float]:
     import jax
     import tempfile
 
     from libsrcnn_tpu import SRCNNConfig, pipeline
 
-    cfg = SRCNNConfig(model=model, compute_dtype=dtype, use_pallas=False)
+    cfg = SRCNNConfig(model=model, compute_dtype=dtype, use_pallas=False,
+                      lane_pack=lane_pack)
     params = pipeline.load_model_params(cfg, scale)
     rng = np.random.default_rng(0)
     imgs = [jax.device_put(rng.integers(0, 256, (size, size, 3), np.uint8))
@@ -55,10 +56,16 @@ def main() -> None:
     ap.add_argument("--dtype", default="bfloat16",
                     choices=("float32", "bfloat16"))
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--lane-pack", default="auto",
+                    choices=("auto", "0", "1"),
+                    help="'0' traces the DIRECT conv stack (the PERF.md "
+                         "roofline methodology); 'auto' follows the "
+                         "config default (packed on TPU for families)")
     args = ap.parse_args()
 
+    lane_pack = {"auto": None, "0": False, "1": True}[args.lane_pack]
     trace_dir, out_mp = capture(args.model, args.size, args.scale,
-                                args.dtype, args.iters)
+                                args.dtype, args.iters, lane_pack)
     print(f"trace: {trace_dir}")
     report(trace_dir, args.iters, out_mp)
 

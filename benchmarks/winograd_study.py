@@ -32,55 +32,64 @@ R = 9  # conv1 tap count per axis
 
 def winograd_matrices(m: int, nodes):
     """A^T, G, B^T for F(m, r) over the given n-1 finite nodes (+ the
-    point at infinity), float64.  Standard Toom-Cook construction:
-      Y = A^T [ (G g) * (B^T d) ]
-    with g the r-tap filter, d the (m+r-1)-sample input tile."""
+    point at infinity), float64, such that
+
+      y = A^T [ (G g) * (B^T d) ]
+
+    computes the m-output valid CORRELATION of the n-sample tile d with
+    the r-tap filter g.  Construction by Tellegen transposition of the
+    minimal (m x r -> n)-coefficient polynomial MULTIPLICATION
+    algorithm  w = P^{-1} [(Q u) * (R v)]  (Q, R point-evaluation
+    Vandermondes, P the n-point interpolation matrix): correlation is
+    the transpose of multiplication in the data argument, so
+
+      A^T = Q^T  (m-side evaluations, transposed),
+      G   = R    (r-side evaluations),
+      B^T = P^{-T}.
+
+    Verified exact in f64 by the self-test in main() before any f32
+    conclusion is drawn.
+    """
     n = m + R - 1
     assert len(nodes) == n - 1, (len(nodes), n)
     a = np.asarray(nodes, np.float64)
 
-    # Vandermonde over the finite nodes (plus infinity handled by the
-    # last row/col conventions below).
-    V = np.vander(a, n, increasing=True)            # [n-1, n]
+    # Q: evaluate the (deg m-1) polynomial at the nodes + infinity
+    Q = np.zeros((n, m))
+    Q[:-1] = np.vander(a, m, increasing=True)
+    Q[-1, -1] = 1.0                                  # infinity -> leading coeff
 
-    # G: evaluate the filter polynomial at each node -> [n, r]
+    # R == G: evaluate the (deg r-1) filter polynomial
     G = np.zeros((n, R))
     G[:-1] = np.vander(a, R, increasing=True)
-    G[-1, -1] = 1.0                                  # infinity -> leading coeff
+    G[-1, -1] = 1.0
 
-    # B^T: evaluate the data polynomial -> [n, n]
-    BT = np.zeros((n, n))
-    BT[:-1] = V
-    BT[-1, -1] = 1.0
-
-    # A^T solves the interpolation back to the m output taps:
-    # output poly coeffs c satisfy  M c = values; we need the m low-order
-    # convolution outputs.  Build via the inverse Vandermonde.
-    M = np.zeros((n, n))
-    M[:-1] = np.vander(a, n, increasing=True)
-    M[-1, -1] = 1.0
-    Minv = np.linalg.inv(M)
-    AT = Minv[:m, :]                                 # first m coefficients
-    return AT, G, BT
+    # P: n-point interpolation (values -> n product coefficients)
+    P = np.zeros((n, n))
+    P[:-1] = np.vander(a, n, increasing=True)
+    P[-1, -1] = 1.0
+    BT = np.linalg.inv(P).T
+    return Q.T, G, BT
 
 
 NODE_LADDER = [0.0, 1.0, -1.0, 0.5, -0.5, 2.0, -2.0, 0.25, -0.25,
                4.0, -4.0, 1.5, -1.5, 3.0, -3.0, 0.75, -0.75]
 
 
-def winograd_conv_f32(g, d, m):
-    """1-D F(m, 9) in float32 over a long signal d (valid conv)."""
+def winograd_conv(g, d, m, dtype):
+    """1-D F(m, 9) over a long signal d (valid correlation), computed
+    with the transform matrices and arithmetic cast to ``dtype``."""
     n = m + R - 1
-    AT, G, BT = winograd_matrices(m, NODE_LADDER[:n - 1])
-    AT32, G32, BT32 = (x.astype(np.float32) for x in (AT, G, BT))
-    g32 = g.astype(np.float32)
-    d32 = d.astype(np.float32)
-    gw = (G32 @ g32)                                 # [n]
+    AT, G, BT = (x.astype(dtype)
+                 for x in winograd_matrices(m, NODE_LADDER[:n - 1]))
+    g = g.astype(dtype)
+    d = d.astype(dtype)
+    gw = G @ g                                       # [n]
     L = (len(d) - R + 1) // m * m
-    out = np.empty(L, np.float32)
+    out = np.empty(L, dtype)
     for s in range(0, L, m):
-        tile = d32[s:s + n]
-        out[s:s + m] = AT32 @ (gw * (BT32 @ tile))
+        tile = d[s:s + n]
+        out[s:s + m] = AT @ (gw * (BT @ tile))
     return out
 
 
@@ -95,8 +104,18 @@ def main() -> None:
 
     print(f"conv1 rows: {rows.shape[0]} 9-tap filters; signal [0,255] "
           f"uniform, {len(d)} samples; reference = f64 direct conv")
-    print(f"{'variant':14s} {'cond(AT)':>10s} {'max abs err':>12s} "
-          f"{'rel to direct-f32':>18s}")
+
+    # correctness self-test: the construction must be exact (up to f64
+    # interpolation conditioning) BEFORE any f32 conclusion is drawn
+    for m in (2, 3, 4):
+        g = rows[7]
+        wout = winograd_conv(g, d, m, np.float64)
+        refc = np.convolve(d, g[::-1], "valid")[:len(wout)]
+        err64 = np.abs(wout - refc).max()
+        assert err64 < 1e-4, (m, err64)  # algebra check (f64 cond only)
+
+    print(f"{'variant':14s} {'cond(B^T)':>10s} {'f64 err':>10s} "
+          f"{'f32 max abs err':>16s} {'rel to direct-f32':>18s}")
 
     # baseline: direct f32 conv error vs f64
     ref = np.stack([np.convolve(d, g[::-1], "valid") for g in rows])
@@ -105,21 +124,23 @@ def main() -> None:
                                      "valid").astype(np.float64)
                          for g in rows])
     base_err = np.abs(direct32 - ref).max()
-    print(f"{'direct f32':14s} {'-':>10s} {base_err:12.3e} {1.0:18.1f}")
+    print(f"{'direct f32':14s} {'-':>10s} {'-':>10s} {base_err:16.3e} "
+          f"{1.0:18.1f}")
 
     for m in (2, 3, 4):
         n = m + R - 1
-        AT, G, BT = winograd_matrices(m, NODE_LADDER[:n - 1])
-        errs = []
+        _, _, BT = winograd_matrices(m, NODE_LADDER[:n - 1])
+        errs64, errs32 = [], []
         for g in rows[:64]:                          # 64 filters suffice
-            wout = winograd_conv_f32(g, d, m)
-            L = len(wout)
-            # np.convolve 'valid' with reversed kernel == correlation
-            refc = np.convolve(d, g[::-1], "valid")[:L]
-            errs.append(np.abs(wout.astype(np.float64) - refc).max())
-        err = float(np.max(errs))
-        print(f"F({m},9) 1-D   {np.linalg.cond(AT):10.1e} {err:12.3e} "
-              f"{err / base_err:18.1f}")
+            refc = np.convolve(d, g[::-1], "valid")
+            w64 = winograd_conv(g, d, m, np.float64)
+            w32 = winograd_conv(g, d, m, np.float32)
+            errs64.append(np.abs(w64 - refc[:len(w64)]).max())
+            errs32.append(np.abs(w32.astype(np.float64)
+                                 - refc[:len(w32)]).max())
+        print(f"F({m},9) 1-D   {np.linalg.cond(BT):10.1e} "
+              f"{max(errs64):10.1e} {max(errs32):16.3e} "
+              f"{max(errs32) / base_err:18.1f}")
     print("\n2-D nesting squares the transform error factor; the golden "
           "gate needs <=~1e-3 abs.")
 

@@ -26,10 +26,11 @@ import numpy as np
 #: extensions routed to the OpenCV (ffmpeg) codec tier
 VIDEO_EXTS = frozenset({".mp4", ".m4v", ".mov", ".avi", ".mkv", ".webm"})
 
-#: encoder fourcc by output extension (cv2's builds here lack H.264
-#: encode -- mp4v/MJPG/XVID are the portable software encoders)
+#: encoder fourcc by output extension (cv2's build here lacks H.264
+#: encode -- mp4v/XVID/VP8 are the portable software encoders; WebM
+#: muxing accepts only VP8/VP9/AV1)
 _FOURCC = {".mp4": "mp4v", ".m4v": "mp4v", ".mov": "mp4v",
-           ".avi": "XVID", ".mkv": "XVID", ".webm": "XVID"}
+           ".avi": "XVID", ".mkv": "XVID", ".webm": "VP80"}
 
 
 def is_video(path: str) -> bool:
@@ -148,12 +149,15 @@ def upscale_video(src: str, dst: str, scale: float = 2.0,
     config = config or DEFAULT_CONFIG
     if is_video(src):
         source: Iterator[np.ndarray] = iter_video(src)
-        duration = int(round(1000.0 / video_fps(src)))
+        fps = video_fps(src)            # float: 29.97 stays 29.97
+        duration = int(round(1000.0 / fps))
     else:
         frames, duration = read_frames(src)
         if not frames:
             raise ValueError(f"no frames decoded from {src}")
         source = iter(frames)
+        # zero-duration stills/animations get write_frames' 40 ms default
+        fps = 1000.0 / (duration or 40)
 
     def upscaled() -> Iterator[np.ndarray]:
         if batch:
@@ -168,7 +172,7 @@ def upscale_video(src: str, dst: str, scale: float = 2.0,
             yield from up.stream(source)
 
     if is_video(dst):
-        sink = VideoSink(dst, 1000.0 / max(duration, 1))
+        sink = VideoSink(dst, fps)
         try:
             for f in upscaled():
                 sink.write(f)

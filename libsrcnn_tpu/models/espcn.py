@@ -103,17 +103,9 @@ def load_params(scale: int = 2, path: str | None = None,
 
 def _conv_same(x, w, precision=lax.Precision.HIGHEST,
                lane_pack: bool = False):
-    if lane_pack:
-        from libsrcnn_tpu.ops import packed_conv
-        return packed_conv.auto_packed_conv_same(x, w, precision)
-    kh, kw = w.shape[0], w.shape[1]
-    x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
-                mode="edge")
-    return lax.conv_general_dilated(
-        x, w, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=precision)
+    from libsrcnn_tpu.ops import packed_conv
+
+    return packed_conv.conv_same(x, w, precision, lane_pack)
 
 
 def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:

@@ -107,23 +107,16 @@ def load_params(scale: int | None = None, path: str | None = None,
     return params, spec
 
 
-def _conv_same(x, w, precision=lax.Precision.HIGHEST, lane_pack: int = 1):
-    if lane_pack > 1:
-        from libsrcnn_tpu.ops import packed_conv
-        return packed_conv.packed_conv_same(x, w, lane_pack, precision)
-    kh, kw = w.shape[0], w.shape[1]
-    x = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)),
-                mode="edge")
-    return lax.conv_general_dilated(
-        x, w, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-        precision=precision)
+def _conv_same(x, w, precision=lax.Precision.HIGHEST, lane_pack=False):
+    from libsrcnn_tpu.ops import packed_conv
+
+    return packed_conv.conv_same(x, w, precision, lane_pack)
 
 
 def forward_hr(params: dict, y_hr: jnp.ndarray,
                spec: VDSRSpec = VDSRSpec(), *, clamp: bool = True,
-               precision=lax.Precision.HIGHEST, lane_pack: int = 1):
+               precision=lax.Precision.HIGHEST,
+               lane_pack: bool | int = False):
     """Interpolated HR Y plane(s) [H, W] or [N, H, W] -> refined, same
     shape.  ``y + residual`` with the residual net under scan+remat.
 
@@ -132,12 +125,12 @@ def forward_hr(params: dict, y_hr: jnp.ndarray,
     f32 accumulation -- the throughput tier (quality delta measured in
     EVAL.md; there is no u8 golden gate on this family).
 
-    ``lane_pack > 1`` runs the interior stack through
-    :func:`libsrcnn_tpu.ops.packed_conv.packed_conv_same` (p output
-    columns packed into the MXU lane dimension -- see that module for
-    the roofline argument; p=4 doubles the useful MXU rate at ch=32).
-    Same f32 MACs in a different reduction order, so it is not used
-    where bit-stability across configs matters."""
+    ``lane_pack`` runs the interior stack through
+    :func:`libsrcnn_tpu.ops.packed_conv.conv_same`: True = the
+    roofline-optimal phase count (p=4 doubles the useful MXU rate at
+    ch=32), an int > 1 = that explicit count.  Same f32 MACs in a
+    different reduction order, so it is not used where bit-stability
+    across configs matters."""
     squeeze = y_hr.ndim == 2
     if squeeze:
         y_hr = y_hr[None]

@@ -106,21 +106,29 @@ def packed_conv_same(x: jnp.ndarray, w: jnp.ndarray, p: int,
                        precision, pad_mode="edge")
 
 
-def auto_packed_conv_same(x: jnp.ndarray, w: jnp.ndarray,
-                          precision=lax.Precision.DEFAULT) -> jnp.ndarray:
-    """SAME edge-padded conv at the roofline-optimal phase count for this
-    kernel's shape (p=1 falls back to the direct conv -- already-wide
-    stacks and 1x1 convs pack nothing)."""
+def conv_same(x: jnp.ndarray, w: jnp.ndarray,
+              precision=lax.Precision.HIGHEST,
+              lane_pack: bool | int = False) -> jnp.ndarray:
+    """SAME edge-padded conv -- the one entry the model families share.
+
+    ``lane_pack``: False/0/1 = the direct conv; True = the
+    roofline-optimal phase count for this kernel's shape (p=1 falls back
+    to direct -- already-wide stacks and 1x1 convs pack nothing);
+    an int > 1 = that explicit phase count.
+    """
     kh, kw, _, cout = w.shape
-    p = best_phases(kw, cout)
-    if p == 1:
-        xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2),
-                         (0, 0)), mode="edge")
-        return lax.conv_general_dilated(
-            xp, w, (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32, precision=precision)
-    return packed_conv_same(x, w, p, precision)
+    if lane_pack is True:
+        p = best_phases(kw, cout)
+    else:
+        p = int(lane_pack) if lane_pack else 1
+    if p > 1:
+        return packed_conv_same(x, w, p, precision)
+    xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2),
+                     (0, 0)), mode="edge")
+    return lax.conv_general_dilated(
+        xp, w, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32, precision=precision)
 
 
 @functools.lru_cache(maxsize=None)

@@ -124,14 +124,11 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
                               precision=family_precision(compute_dtype),
                               lane_pack=bool(lane_pack))
     elif model in HR_FAMILIES:
-        from .ops import packed_conv
-
         mod = _lr_family(model)
         y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
-        p = (packed_conv.best_phases(3, fsrcnn_spec.ch) if lane_pack else 1)
         y_sr = mod.forward_hr(params, y_r, fsrcnn_spec,
                               precision=family_precision(compute_dtype),
-                              lane_pack=p)
+                              lane_pack=bool(lane_pack))
     elif compute_dtype == "int8" and use_pallas:
         from .kernels import fused_conv
 

@@ -124,3 +124,16 @@ def test_upscale_video_gif_to_mp4(gif, tmp_path):
 def test_is_video_and_auto_name():
     assert video.is_video("a/clip.MP4") and video.is_video("x.webm")
     assert not video.is_video("a.gif") and not video.is_video("a.png")
+
+
+def test_upscale_video_webm_sink(mp4, tmp_path):
+    """WebM muxing accepts only VP8/VP9/AV1 -- the fourcc map must emit
+    a real webm, and fps must survive float-exactly (no int-ms round
+    trip: 20 fps here, 29.97-style rates in the field)."""
+    path, _ = mp4
+    dst = str(tmp_path / "clip.webm")
+    n = video.upscale_video(path, dst, 2.0, batch=4)
+    assert n == 7
+    got = list(video.iter_video(dst))
+    assert len(got) == 7 and got[0].shape == (48, 64, 3)
+    assert abs(video.video_fps(dst) - 20.0) < 0.5

@@ -80,7 +80,11 @@ def _build_pair_pool_on(images, n_patches: int, patch: int, seed: int,
         # trained without it.
         versions = [y]
         for f in content_scales:
+            if not 0.0 < f < 1.0:
+                raise ValueError(f"content scale {f} must be in (0, 1)")
             vh, vw = int(y.shape[0] * f), int(y.shape[1] * f)
+            if vh < patch or vw < patch:
+                continue  # too small to crop a patch from -- skip
             versions.append(np.asarray(resize.resize_plane(
                 jnp.asarray(y), vh, vw, FilterType.BICUBIC)))
         for v in versions:
