@@ -72,7 +72,14 @@ def evaluate_image(
         scale = float(frac)
         hr = hr[:hr.shape[0] // p * p, :hr.shape[1] // p * p]
     h, w = hr.shape[:2]
-    lw, lh = max(1, int(w / scale)), max(1, int(h / scale))
+    if aligned_scale:
+        # exact rational LR size (float w/scale truncates: 110/2.2 is
+        # 49.999... in double, and int() would drop a full LR pixel,
+        # silently misaligning the grid the crop just aligned)
+        lw = max(1, w * frac.denominator // frac.numerator)
+        lh = max(1, h * frac.denominator // frac.numerator)
+    else:
+        lw, lh = max(1, int(w / scale)), max(1, int(h / scale))
 
     # LR synthesis: per-channel classical downscale in YCbCr, like the
     # pipeline itself operates
@@ -103,12 +110,13 @@ def evaluate_image(
                                    step_scale=step_scale,
                                    self_ensemble=self_ensemble))[:h, :w]
 
+    from ..config import chroma_filter
+
     planes_lr = color.rgb_to_ycbcr(jnp.asarray(lr))
     interp = jnp.stack([
         resize.resize_plane(planes_lr[c], srcnn_up.shape[0], srcnn_up.shape[1],
-                            filter_type if c == 0 else
-                            (FilterType.NEAREST if filter_type == FilterType.NEAREST
-                             else FilterType.BILINEAR))
+                            filter_type if c == 0
+                            else chroma_filter(filter_type))
         for c in range(planes_lr.shape[0])
     ])
     interp_up = np.asarray(color.ycbcr_to_rgb(interp))[:h, :w]
@@ -178,6 +186,9 @@ def main(argv: list[str] | None = None) -> int:
                          "[--ensemble]")
 
     results = evaluate_dir(path, scale, ft, model, step, ensemble)
+    if not results:
+        raise SystemExit(f"no images found under {path!r} "
+                         f"(.png/.jpg/.jpeg/.bmp)")
     print(f"{'image':24s} {'interp PSNR/SSIM':>20s} {'SRCNN PSNR/SSIM':>20s} {'gain':>7s}")
     for r in results:
         print(f"{r.name:24s} {r.psnr_interp:9.2f}/{r.ssim_interp:.4f} "

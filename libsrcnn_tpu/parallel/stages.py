@@ -211,6 +211,12 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
             "pipeline-stage parallelism applies to the srcnn stack only; "
             f"model {cfg.model!r} has a fused learned-upscale head "
             "(use sharding.upscale_batch)")
+    if cfg.compute_dtype != "float32":
+        raise ValueError(
+            "the stage-pipelined path runs exact f32 only (its atoms "
+            "carry f32 and would silently diverge from upscale() under "
+            f"compute_dtype={cfg.compute_dtype!r}); use per-frame "
+            "api.upscale or sharding.upscale_batch for the other tiers")
     n, h, w, d = frames.shape
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
     params, _ = pipeline.prepare_model_params(cfg, params, h, w,

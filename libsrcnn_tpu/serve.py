@@ -22,8 +22,19 @@ import jax
 import jax.numpy as jnp
 
 from .config import DEFAULT_CONFIG, SRCNNConfig
-from .models import srcnn
 from . import pipeline
+
+
+def _reject_step_scale(config: SRCNNConfig) -> None:
+    """The serve paths run ONE pass per frame; silently skipping the
+    reference's chained-x2 step-scale recipe (`libsrcnn.cpp:980-1061`)
+    would produce different pixels than api.upscale with the same
+    config, so reject it explicitly (use api.upscale per frame)."""
+    if config.step_scale:
+        raise ValueError(
+            "step_scale is not supported by the serving paths (they "
+            "dispatch one pass per frame); call api.upscale per frame "
+            "for chained-x2 semantics")
 
 
 def upscale_frames(frames: np.ndarray, scale: float = 2.0,
@@ -31,6 +42,7 @@ def upscale_frames(frames: np.ndarray, scale: float = 2.0,
                    params: dict | None = None, mesh=None) -> np.ndarray:
     """Upscale a [N, H, W, D] u8 clip; with ``mesh`` the batch is sharded
     over the ``data`` axis (see parallel/sharding.upscale_batch)."""
+    _reject_step_scale(config)
     if params is None:
         params = pipeline.load_model_params(config, scale)
     if mesh is not None:
@@ -161,6 +173,7 @@ class VideoUpscaler:
     def __init__(self, scale: float = 2.0,
                  config: SRCNNConfig = DEFAULT_CONFIG,
                  params: dict | None = None):
+        _reject_step_scale(config)
         self.scale = float(scale)
         self.config = config
         self.params = (params if params is not None
@@ -173,7 +186,7 @@ class VideoUpscaler:
     #: first retry waits this long; each subsequent retry doubles it
     retry_backoff_s: float = 0.05
 
-    def _run_one(self, frame: np.ndarray):
+    def _run_one(self, frame: np.ndarray, sync: bool = False):
         import logging
         import time
 
@@ -183,10 +196,16 @@ class VideoUpscaler:
         for attempt in range(self.max_retries + 1):
             try:
                 if self.config.self_ensemble:
-                    return _ensemble_pass(jnp.asarray(frame), self.params,
-                                          self.scale, self.config)[0]
-                return pipeline.run_pass(jnp.asarray(frame), self.params,
+                    out = _ensemble_pass(jnp.asarray(frame), self.params,
                                          self.scale, self.config)[0]
+                else:
+                    out = pipeline.run_pass(jnp.asarray(frame), self.params,
+                                            self.scale, self.config)[0]
+                # sync=True materializes INSIDE the retry scope, so async
+                # execution failures (which dispatch alone never raises)
+                # are retried too -- the slow path; stream() keeps the
+                # fast path async and only falls back here on error
+                return np.asarray(out) if sync else out
             except jax.errors.JaxRuntimeError as e:
                 # Deterministic failures (tracing/lowering problems surface
                 # as TypeError/ValueError, not JaxRuntimeError) are not
@@ -210,10 +229,21 @@ class VideoUpscaler:
         for frame in frames:
             cur = self._run_one(frame)
             if pending is not None:
-                yield np.asarray(pending)
-            pending = cur
+                yield self._materialize(*pending)
+            pending = (frame, cur)
         if pending is not None:
-            yield np.asarray(pending)
+            yield self._materialize(*pending)
+
+    def _materialize(self, frame: np.ndarray, result) -> np.ndarray:
+        """Device -> host fetch with the retry policy: dispatch is async,
+        so a dropped execution raises HERE, not in _run_one -- re-run the
+        frame synchronously through the retry loop in that case."""
+        import jax
+
+        try:
+            return np.asarray(result)
+        except jax.errors.JaxRuntimeError:
+            return self._run_one(frame, sync=True)
 
     def stream_from_ring(self, ring, frame_shape: tuple[int, int, int],
                          stop=lambda: False) -> Iterator[np.ndarray]:

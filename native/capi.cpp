@@ -33,6 +33,27 @@ namespace {
 std::mutex g_mu;            // serializes all Python transitions
 PyObject* g_api = nullptr;  // libsrcnn_tpu.api module (owned)
 
+// Lock-order safety: these entry points take g_mu THEN the GIL.  A
+// caller that already holds the GIL (a Python host app calling through
+// ctypes.PyDLL, or an extension that didn't release it) would invert
+// that order -- it blocks on g_mu holding the GIL while the g_mu owner
+// blocks in PyGILState_Ensure: deadlock.  Yield the caller's GIL for
+// the duration of the call; PyGILState_Ensure re-acquires it where
+// needed.
+struct GilYield {
+    PyThreadState* saved = nullptr;
+    GilYield() {
+        if (Py_IsInitialized() && PyGILState_Check()) {
+            saved = PyEval_SaveThread();
+        }
+    }
+    ~GilYield() {
+        if (saved != nullptr) {
+            PyEval_RestoreThread(saved);
+        }
+    }
+};
+
 // Import libsrcnn_tpu.api once, initializing the interpreter if this
 // process has none. Caller must hold g_mu. Returns borrowed-for-lifetime
 // module or nullptr (with a message on stderr).
@@ -99,6 +120,7 @@ void SRCNN_FreeBuffer(unsigned char* p) { std::free(p); }
 // consumed by ProcessSRCNN. ftype uses the reference enum values
 // (0 nearest .. 4 b-spline).
 void ConfigureFilterSRCNN(int ftype, int stepscale) {
+    GilYield yield;
     std::lock_guard<std::mutex> lock(g_mu);
     PyObject* api = api_module();
     if (api == nullptr) {
@@ -128,6 +150,7 @@ int ProcessSRCNN(const unsigned char* refbuff,
         w == 0 || h == 0 || d == 0) {
         return -1;  // bad args (`libsrcnn.cpp:951-952`)
     }
+    GilYield yield;
     std::lock_guard<std::mutex> lock(g_mu);
     PyObject* api = api_module();
     if (api == nullptr) {
@@ -147,10 +170,20 @@ int ProcessSRCNN(const unsigned char* refbuff,
     }
     if (res == nullptr) {
         PyErr_Print();
+    } else if (!PyTuple_Check(res) || PyTuple_GET_SIZE(res) < 3) {
+        // contract skew: process_srcnn must return (rc, out, conv)
+        std::fprintf(stderr,
+                     "libsrcnn_tpu_c: unexpected process_srcnn return "
+                     "(not a 3-tuple)\n");
+        rc = -100;
     } else {
         // (retcode, out_u8_array | None, conv_u8_array | None)
         PyObject* code = PyTuple_GetItem(res, 0);   // borrowed
         rc = static_cast<int>(PyLong_AsLong(code));
+        if (rc == -1 && PyErr_Occurred()) {
+            PyErr_Print();  // non-int retcode, not a real -1
+            rc = -100;
+        }
         if (rc == 0) {
             PyObject* out = PyTuple_GetItem(res, 1);
             PyObject* ob = PyObject_CallMethod(out, "tobytes", nullptr);
@@ -185,6 +218,9 @@ int ProcessSRCNN(const unsigned char* refbuff,
     }
     Py_XDECREF(res);
     Py_XDECREF(buf);
+    if (PyErr_Occurred()) {
+        PyErr_Print();  // never leak a pending exception past the ABI
+    }
     PyGILState_Release(gil);
     return rc;
 }

@@ -308,3 +308,88 @@ def test_eval_rational_scale_alignment():
     # a genuinely irrational-ish factor still runs through the eps path
     r_odd = evaluate_image(img, 1.37, FilterType.BICUBIC, name="odd")
     assert np.isfinite(r_odd.psnr_srcnn)
+
+
+def test_eval_fractional_lr_size_is_exact(monkeypatch):
+    """scale=2.2 on a 110-wide image must synthesize a 50-px LR plane:
+    float division truncates (110/2.2 = 49.999... in double) and would
+    silently misalign the grid the rational crop just aligned."""
+    from libsrcnn_tpu import api
+
+    captured = {}
+    real = api.upscale
+
+    def spy(lr, s, cfg=None, **kw):
+        captured["lr_shape"] = np.asarray(lr).shape
+        return real(lr, s, cfg, **kw)
+
+    monkeypatch.setattr(api, "upscale", spy)
+    hr = np.random.default_rng(13).integers(0, 256, (110, 110, 3), np.uint8)
+    r = evaluate_image(hr, 2.2, name="t")
+    assert captured["lr_shape"] == (50, 50, 3), captured
+    assert np.isfinite(r.psnr_srcnn) and np.isfinite(r.psnr_interp)
+
+
+def test_eval_runner_empty_dir_errors(tmp_path):
+    with pytest.raises(SystemExit, match="no images"):
+        eval_main([str(tmp_path)])
+
+
+def test_serve_rejects_step_scale():
+    from libsrcnn_tpu.config import SRCNNConfig
+
+    cfg = SRCNNConfig(step_scale=True)
+    frames = np.zeros((2, 8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="step_scale"):
+        upscale_frames(frames, 4.0, cfg)
+    with pytest.raises(ValueError, match="step_scale"):
+        VideoUpscaler(4.0, cfg)
+
+
+def test_stream_retries_async_materialization_failure(butterfly,
+                                                      monkeypatch):
+    """Async dispatch means a dropped execution raises at the device->
+    host fetch, not in _run_one: the stream must re-run that frame
+    through the retry loop instead of propagating."""
+    import jax
+
+    from libsrcnn_tpu import pipeline as pl
+    from libsrcnn_tpu import serve
+
+    frame = butterfly[:16, :16]
+    up = VideoUpscaler(2.0)
+    up.retry_backoff_s = 0.0
+    real = pl.run_pass
+    calls = {"n": 0}
+
+    class Poisoned:
+        def __array__(self, dtype=None, copy=None):
+            raise jax.errors.JaxRuntimeError("simulated dropped execution")
+
+    def flaky(img, params, scale, cfg):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return (Poisoned(), None)
+        return real(img, params, scale, cfg)
+
+    monkeypatch.setattr(pl, "run_pass", flaky)
+    outs = list(up.stream(iter([frame])))
+    assert calls["n"] == 2  # poisoned dispatch + one successful retry
+    from libsrcnn_tpu import upscale as still
+
+    np.testing.assert_array_equal(outs[0], still(frame, 2.0))
+
+
+def test_stages_rejects_non_f32():
+    import jax
+
+    from libsrcnn_tpu import SRCNNConfig, pipeline
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+    from libsrcnn_tpu.parallel.stages import upscale_pipelined
+
+    mesh = make_mesh({"stage": 4, "rest": 2})
+    cfg = SRCNNConfig(compute_dtype="bfloat16")
+    params = pipeline.load_model_params(SRCNNConfig(), 2.0)
+    frames = np.zeros((4, 8, 8, 3), np.uint8)
+    with pytest.raises(ValueError, match="f32 only"):
+        upscale_pipelined(frames, params, 2.0, cfg, mesh)
