@@ -100,12 +100,14 @@ def upscale(
     cur = img
     sw, sh = w, h
     out = conv = None
+    final_ran = False
     for cnt in range(repeat):
         curmf = np.float32(2.0)
         if cnt + 1 == repeat:
             curmf = (np.float32(w) * multiply) / np.float32(sw)
             if curmf == 0.0 or curmf == 1.0:
                 break
+            final_ran = True
         o, c = pipeline.run_pass(cur, params, float(curmf), config)
         out, conv = o, c
         cur = o  # stays on device between passes (u8 quantization intact)
@@ -113,6 +115,12 @@ def upscale(
             sw = int(np.float32(sw) * curmf)
             sh = int(np.float32(sh) * curmf)
 
+    # conv-map parity: the reference passes convbuff only to the FINAL
+    # chain pass (`libsrcnn.cpp:1025-1029`); an early-broken chain (exact
+    # remainder) therefore emits NO conv map even though the output is
+    # the last completed pass's buffer (`:1058-1060`).
+    if not final_ran:
+        conv = None
     out = np.asarray(out) if out is not None else img.copy()
     conv = np.asarray(conv) if conv is not None else None
     return (out, conv) if want_conv else out
@@ -221,13 +229,24 @@ def process_srcnn(refbuff, w: int, h: int, d: int, multiply: float):
     # instead of letting reshape raise.
     if refbuff is None or w <= 0 or h <= 0 or d <= 0:
         return -1, None, None
-    buf = np.frombuffer(bytes(refbuff), dtype=np.uint8) if not isinstance(
-        refbuff, np.ndarray) else np.asarray(refbuff, dtype=np.uint8).ravel()
+    if isinstance(refbuff, np.ndarray):
+        if refbuff.dtype != np.uint8:
+            # an unsafe cast would silently value-wrap (300 -> 44);
+            # reject like the NULL/zero check instead
+            return -1, None, None
+        buf = refbuff.ravel()
+    else:
+        buf = np.frombuffer(bytes(refbuff), dtype=np.uint8)
     if buf.size != w * h * d:
         return -1, None, None
     m_w = np.float32(w) * np.float32(multiply)
     m_h = np.float32(h) * np.float32(multiply)
     if m_w <= 0.0 or m_h <= 0.0:
+        return -2, None, None
+    if int(m_w) < 1 or int(m_h) < 1:
+        # output would be empty (e.g. 0 < w*multiply < 1); the reference
+        # fails inside doSRCNN's resize alloc -- report bad scale rather
+        # than raise out of the retcode contract
         return -2, None, None
     if d not in (3, 4):
         # reference UB territory: depth<3 leaves doSRCNN's buffers
@@ -235,6 +254,12 @@ def process_srcnn(refbuff, w: int, h: int, d: int, multiply: float):
         return -1, None, None
     with _state_lock:
         cfg = SRCNNConfig(filter=_state["filter"], step_scale=_state["step_scale"])
+    if cfg.step_scale and np.float32(multiply) == np.float32(1.0):
+        # reference parity: a step-scale chain whose single pass breaks
+        # (curmf == 1) leaves retval = -100 and NULL buffers
+        # (`libsrcnn.cpp:1004-1008,636`); upscale() itself stays
+        # Pythonic and returns the input copy for this case.
+        return -100, None, None
     img = buf.reshape(h, w, d)
     out, conv = upscale(img, multiply, cfg, return_conv_map=True)
     return 0, out.ravel(), (conv.ravel() if conv is not None else None)

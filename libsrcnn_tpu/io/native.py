@@ -102,8 +102,14 @@ def contribution_table(filter_type: int, dst_size: int, src_size: int):
     :func:`libsrcnn_tpu.ops.weights_table.contribution_table`."""
     import math
 
+    from ..config import FilterType
+    from ..ops.filters import FILTERS
+
     lib = _require_lib()
-    fw = {0: 0.5, 1: 1.0, 3: 3.0}.get(int(filter_type), 2.0)
+    # single source of truth for the support width: the buffer sized
+    # here is written by the native side BEFORE the window assert below,
+    # so a drifted copy of the table would corrupt the heap, not assert
+    fw = FILTERS[FilterType(int(filter_type))][1]
     scale = dst_size / src_size
     width = fw / scale if scale < 1.0 else fw
     window = 2 * int(math.ceil(width)) + 1

@@ -104,25 +104,31 @@ class VideoSink:
             self._writer = None
 
 
-def read_frames(path: str) -> tuple[list[np.ndarray], int]:
+def read_frames(path: str) -> tuple[list[np.ndarray], int | list[int]]:
     """Decode an (optionally animated) image file.
 
     Returns ``(frames, duration_ms)``: a list of [H, W, 3] u8 arrays and
-    the per-frame display duration (0 for stills).
+    the per-frame display duration -- an int when uniform (0 for
+    stills), else the per-frame list (GIFs may give every frame its own
+    delay; collapsing to frame 0's would retime the animation).
     """
     from PIL import Image, ImageSequence
 
     im = Image.open(path)
-    duration = int(im.info.get("duration", 0) or 0)
-    frames = [np.asarray(f.convert("RGB"))
-              for f in ImageSequence.Iterator(im)]
-    return frames, duration
+    frames, durations = [], []
+    for f in ImageSequence.Iterator(im):
+        durations.append(int(f.info.get("duration", 0) or 0))
+        frames.append(np.asarray(f.convert("RGB")))
+    if len(set(durations)) <= 1:
+        return frames, (durations[0] if durations else 0)
+    return frames, durations
 
 
 def write_frames(path: str, frames: list[np.ndarray],
-                 duration_ms: int = 0) -> None:
+                 duration_ms: int | list[int] = 0) -> None:
     """Encode frames to ``path``; animated when more than one frame (the
-    format follows the extension: .gif/.webp/.png/...)."""
+    format follows the extension: .gif/.webp/.png/...).  ``duration_ms``
+    may be a per-frame list (PIL supports it natively)."""
     from PIL import Image
 
     ims = [Image.fromarray(np.asarray(f, np.uint8)) for f in frames]
@@ -144,29 +150,39 @@ def upscale_video(src: str, dst: str, scale: float = 2.0,
     PIL, video files stream via OpenCV (see module docstring).
     """
     from ..config import DEFAULT_CONFIG
-    from .. import serve
+    from .. import pipeline, serve
 
+    if batch is not None and batch < 1:
+        raise ValueError(f"batch must be >= 1 or None, got {batch}")
     config = config or DEFAULT_CONFIG
     if is_video(src):
         source: Iterator[np.ndarray] = iter_video(src)
         fps = video_fps(src)            # float: 29.97 stays 29.97
-        duration = int(round(1000.0 / fps))
+        duration: int | list[int] = int(round(1000.0 / fps))
     else:
         frames, duration = read_frames(src)
         if not frames:
             raise ValueError(f"no frames decoded from {src}")
         source = iter(frames)
-        # zero-duration stills/animations get write_frames' 40 ms default
-        fps = 1000.0 / (duration or 40)
+        # zero-duration stills/animations get write_frames' 40 ms
+        # default; variable-duration animations map to their mean rate
+        mean_ms = (float(np.mean(duration)) if isinstance(duration, list)
+                   else float(duration))
+        fps = 1000.0 / (mean_ms or 40)
 
     def upscaled() -> Iterator[np.ndarray]:
+        from itertools import islice
+
         if batch:
+            # load once; per-batch loads would re-upload the weights
+            # through the relay on every clip
+            params = pipeline.load_model_params(config, scale)
             while True:
-                clip = list(_take(source, batch))
+                clip = list(islice(source, batch))
                 if not clip:
                     return
                 yield from serve.upscale_frames(np.stack(clip), scale,
-                                                config)
+                                                config, params=params)
         else:
             up = serve.VideoUpscaler(scale, config)
             yield from up.stream(source)
@@ -186,15 +202,6 @@ def upscale_video(src: str, dst: str, scale: float = 2.0,
         raise ValueError(f"no frames decoded from {src}")
     write_frames(dst, outs, duration)
     return len(outs)
-
-
-def _take(it: Iterator[np.ndarray], n: int) -> list[np.ndarray]:
-    out = []
-    for f in it:
-        out.append(f)
-        if len(out) == n:
-            break
-    return out
 
 
 def main(argv=None) -> int:

@@ -55,7 +55,10 @@ def load_model_params(cfg: "SRCNNConfig", scale: float = 2.0) -> dict:
     """Default parameters for ``cfg.model``: the pre-trained SRCNN 9-1-5
     weights, or an LR family's shipped checkpoint (with its spec attached
     under ``"__spec__"``).  Step-scale chains x2 passes, so x2 weights
-    serve any factor there."""
+    serve power-of-two factors there; a fractional remainder pass still
+    raises for the LR families (pinned by
+    tests/test_zoo_scales.py::test_step_scale_family_contract -- use
+    vdsr for arbitrary factors)."""
     if cfg.model != "srcnn":
         family_precision(cfg.compute_dtype)  # reject int8 etc. up front
     if cfg.model in LR_FAMILIES:

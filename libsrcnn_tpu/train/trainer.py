@@ -82,8 +82,10 @@ def save_checkpoint(path: str, params: dict, step: int = 0) -> None:
 
 
 def load_checkpoint(path: str):
+    """Inverse of save_checkpoint for ANY family's param dict (vdsr saves
+    in_w/mid_w/..., not the 9-1-5 keys)."""
     z = np.load(path)
-    params = {k: jnp.asarray(z[k]) for k in ("w1", "b1", "w2", "b2", "w3", "b3")}
+    params = {k: jnp.asarray(z[k]) for k in z.files if k != "step"}
     return params, int(z["step"])
 
 

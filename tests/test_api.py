@@ -102,3 +102,39 @@ def test_invalid_inputs(img):
 def test_scaled_size_f32_semantics():
     assert scaled_size(256, 256, 2.0) == (512, 512)
     assert scaled_size(33, 47, 2.0) == (66, 94)
+
+
+def test_process_srcnn_empty_output_is_bad_scale(img):
+    """0 < w*multiply < 1 must return -2, not raise out of the retcode
+    contract (the reference fails inside doSRCNN's resize alloc)."""
+    assert lt.process_srcnn(img.tobytes(), 24, 20, 3, 0.01)[0] == -2
+
+
+def test_process_srcnn_rejects_non_u8_ndarray(img):
+    """An unsafe cast would silently value-wrap 300 -> 44."""
+    bad = np.full((20, 24, 3), 300, np.int32)
+    assert lt.process_srcnn(bad, 24, 20, 3, 2.0)[0] == -1
+
+
+def test_process_srcnn_step_scale_identity_is_minus_100(img):
+    """Reference parity: a step-scale chain whose single pass breaks at
+    curmf == 1 returns -100 with NULL buffers (`libsrcnn.cpp:1004-1008`)."""
+    lt.configure_filter_srcnn(2, True)
+    try:
+        rc, out, conv = lt.process_srcnn(img.tobytes(), 24, 20, 3, 1.0)
+        assert (rc, out, conv) == (-100, None, None)
+    finally:
+        lt.configure_filter_srcnn(2, False)
+
+
+def test_step_scale_identity_chain_runs_zero_passes(img):
+    """m=1.0 with step_scale: the single chain pass breaks at curmf == 1
+    (`libsrcnn.cpp:1004-1008`) -- the only REACHABLE break (a mid-chain
+    break would need f32(w*m) == w*2^k with fmod(m,2) > 0, impossible
+    since sw doubles exactly).  upscale() stays Pythonic: input copy,
+    no conv map; the retcode shim maps it to the reference's -100."""
+    arr = np.frombuffer(img.tobytes(), np.uint8).reshape(20, 24, 3)
+    out, conv = lt.upscale(arr, 1.0, lt.SRCNNConfig(step_scale=True),
+                           return_conv_map=True)
+    np.testing.assert_array_equal(out, arr)
+    assert conv is None

@@ -136,3 +136,23 @@ def test_generic_model_family(images):
     losses = tr.fit([make_patch_batch(images, 8, patch=16, seed=s)
                      for s in range(10)])
     assert losses[-1] < losses[0]
+
+
+def test_checkpoint_roundtrip_any_family(tmp_path):
+    """save/load_checkpoint must round-trip non-9-1-5 param dicts (vdsr
+    trainers save in_w/mid_w/...)."""
+    import jax
+
+    from libsrcnn_tpu.models import vdsr
+    from libsrcnn_tpu.train import trainer
+
+    spec = vdsr.VDSRSpec(depth=4, ch=4)
+    params = vdsr.init_params(jax.random.key(0), spec)
+    path = str(tmp_path / "ck.npz")
+    trainer.save_checkpoint(path, params, step=7)
+    got, step = trainer.load_checkpoint(path)
+    assert step == 7
+    assert set(got) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(got[k]),
+                                      np.asarray(params[k]))

@@ -137,3 +137,28 @@ def test_upscale_video_webm_sink(mp4, tmp_path):
     got = list(video.iter_video(dst))
     assert len(got) == 7 and got[0].shape == (48, 64, 3)
     assert abs(video.video_fps(dst) - 20.0) < 0.5
+
+
+def test_variable_duration_gif_preserved(tmp_path):
+    """Per-frame GIF delays survive the upscale round trip (collapsing to
+    frame 0's duration would retime the whole animation)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(14)
+    frames = [Image.fromarray(
+        rng.integers(0, 256, (10, 12, 3), np.uint8)) for _ in range(3)]
+    src = str(tmp_path / "var.gif")
+    frames[0].save(src, save_all=True, append_images=frames[1:],
+                   duration=[100, 30, 30], loop=0)
+    got, dur = video.read_frames(src)
+    assert dur == [100, 30, 30]
+    dst = str(tmp_path / "var_up.gif")
+    video.upscale_video(src, dst, 2.0, batch=2)
+    _, dur2 = video.read_frames(dst)
+    assert dur2 == [100, 30, 30]
+
+
+def test_upscale_video_rejects_bad_batch(mp4, tmp_path):
+    path, _ = mp4
+    with pytest.raises(ValueError, match="batch"):
+        video.upscale_video(path, str(tmp_path / "x.mp4"), 2.0, batch=-1)
