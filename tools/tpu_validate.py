@@ -4,7 +4,13 @@ TPU (auto path = fused Pallas kernel) and compare against the reference
 binary outputs.  The CPU test suite covers the XLA path; this checks the
 chip's compiled kernels end-to-end.
 
+Also cross-checks the model zoo on-chip: each family's lane-packed
+formulation (the TPU default, ops/packed_conv.py) against its direct
+conv stack -- same MACs, different reduction order, so the u8 outputs
+must agree within 1 LSB.
+
 Usage: python tools/tpu_validate.py [N]   # first N configs (default all)
+       python tools/tpu_validate.py --zoo # only the zoo cross-check
 """
 
 import os
@@ -18,9 +24,41 @@ from libsrcnn_tpu import FilterType, SRCNNConfig, upscale
 from libsrcnn_tpu.eval import psnr, ssim
 
 
+def validate_zoo() -> int:
+    """Packed vs direct on-chip for every family with shipped weights."""
+    fails = 0
+    img = np.load("tests/goldens/goldens.npz")["in_butterfly64"]
+    for model in ("fsrcnn", "espcn", "vdsr"):
+        for dtype in ("float32", "bfloat16"):
+            outs = {}
+            for pack in (False, True):
+                cfg = SRCNNConfig(model=model, compute_dtype=dtype,
+                                  lane_pack=pack)
+                try:
+                    outs[pack] = upscale(img, 2.0, cfg)
+                except FileNotFoundError:
+                    print(f"--- {model}: no shipped weights, skipped")
+                    outs = None
+                    break
+            if not outs:
+                break
+            d = int(np.abs(outs[True].astype(int)
+                           - outs[False].astype(int)).max())
+            ok = d <= 1
+            fails += 0 if ok else 1
+            print(f"{'OK ' if ok else 'BAD'} zoo {model:7s} {dtype:9s} "
+                  f"packed-vs-direct maxdiff {d}", flush=True)
+    return fails
+
+
 def main() -> int:
     import bench
     bench._relay_preflight()  # dead tunnel -> exit 3, not a silent hang
+
+    if "--zoo" in sys.argv:
+        fails = validate_zoo()
+        print(f"zoo cross-check failures: {fails}")
+        return 1 if fails else 0
 
     limit = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
     z = np.load("tests/goldens/goldens.npz")
@@ -40,6 +78,7 @@ def main() -> int:
         fails += 0 if ok else 1
         print(f"{'OK ' if ok else 'BAD'} {key:32s} maxdiff {d} conv {dc} "
               f"ssim {s:.6f} psnr {psnr(out, gout):5.1f}", flush=True)
+    fails += validate_zoo()
     print(f"\n{len(cases)} configs, worst u8 diff {worst}, failures {fails}")
     return 1 if fails else 0
 
