@@ -73,3 +73,41 @@ def test_c_client_matches_python(driver, tmp_path, d, filt):
     assert rc == 0
     np.testing.assert_array_equal(c_out, out)
     np.testing.assert_array_equal(c_conv, conv)
+
+
+def test_pydll_gil_holding_caller(driver):
+    """A Python host that calls through ctypes.PyDLL keeps the GIL held
+    across the call -- the lock order (g_mu then GIL) would deadlock
+    without capi.cpp's GilYield.  This exercises that path in-process:
+    the embedded interpreter is THIS one (Py_IsInitialized is true), so
+    the call must release our GIL, take the mutex, and re-ensure."""
+    import ctypes
+
+    lib = ctypes.PyDLL(os.path.join(NATIVE, "libsrcnn_tpu_c.so"))
+    lib.SRCNN_Version.restype = ctypes.c_uint
+    assert lib.SRCNN_Version() == 0x00010A28
+
+    lib.ProcessSRCNN.restype = ctypes.c_int
+    lib.ProcessSRCNN.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint, ctypes.c_uint, ctypes.c_uint,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_uint),
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+        ctypes.POINTER(ctypes.c_uint)]
+    lib.SRCNN_FreeBuffer.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+
+    img = np.random.default_rng(15).integers(0, 256, (10, 12, 3), np.uint8)
+    lib.ConfigureFilterSRCNN(2, 0)
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    outsz = ctypes.c_uint(0)
+    rc = lib.ProcessSRCNN(img.tobytes(), 12, 10, 3, 2.0,
+                          ctypes.byref(out), ctypes.byref(outsz),
+                          None, None)
+    assert rc == 0 and outsz.value == 24 * 20 * 3
+    got = np.ctypeslib.as_array(out, shape=(outsz.value,)).copy()
+    lib.SRCNN_FreeBuffer(out)
+
+    want_rc, want, _ = api.process_srcnn(img.tobytes(), 12, 10, 3, 2.0)
+    assert want_rc == 0
+    np.testing.assert_array_equal(got, want)
