@@ -37,11 +37,13 @@ _FILTER_NAMES = {
 
 
 def _auto_name(src: str, suffix: str) -> str:
-    # `test.cpp:387-445`: swap extension for `<stem>_<suffix>.png`
-    stem, dot, _ext = src.rpartition(".")
-    if not dot:
-        stem = src
-    return f"{stem}_{suffix}.png"
+    # `test.cpp:387-445`: swap extension for `<stem>_<suffix>.png`.
+    # splitext, not rpartition: a dot in a DIRECTORY component
+    # ("photos.2024/cat") must not truncate the path.
+    import os
+
+    stem, _ext = os.path.splitext(src)
+    return f"{stem or src}_{suffix}.png"
 
 
 def parse_args(argv: list[str]):
@@ -59,7 +61,10 @@ def parse_args(argv: list[str]):
 
     for arg in argv:
         if arg.startswith("--scale="):
-            v = float(arg[8:] or 0)
+            try:
+                v = float(arg[8:] or 0)
+            except ValueError:
+                v = 0.0  # reference parity: atof("abc") == 0 (`test.cpp`)
             if v > 0:
                 scale = v
         elif arg.startswith("--filter="):
@@ -88,7 +93,10 @@ def parse_args(argv: list[str]):
         elif arg == "--int8":
             dtype = "int8"      # draft tier (fastest, ~40 dB vs exact)
         elif arg.startswith("--repeat="):
-            repeat = max(1, int(arg[9:]))
+            try:
+                repeat = max(1, int(arg[9:]))
+            except ValueError:
+                repeat = 1  # reference parity: atoi-tolerant
         elif arg.startswith("--debug-dir="):
             debug_dir = arg[12:]
         elif arg.startswith("--waitakey"):
@@ -143,7 +151,10 @@ def main(argv: list[str] | None = None) -> int:
     elapsed = get_tick_count() - t0
 
     save_png(dst, out)
-    save_png(convdst, conv)
+    if conv is not None:
+        # a degenerate step-scale chain emits no conv map (the reference
+        # leaves convbuff NULL, `libsrcnn.cpp:1058-1060`)
+        save_png(convdst, conv)
     if debug_dir:
         from .utils import debugtool
 
@@ -152,7 +163,8 @@ def main(argv: list[str] | None = None) -> int:
 
     # matches the reference's completion line (`test.cpp:672`)
     print(f"{dst}: {out.shape[1]}x{out.shape[0]}x{out.shape[2]}")
-    print(f"{convdst}: {conv.shape[1]}x{conv.shape[0]}x1")
+    if conv is not None:
+        print(f"{convdst}: {conv.shape[1]}x{conv.shape[0]}x1")
     print(f"Test Ok, took {elapsed} ms" + (f" ({repeat} runs)" if repeat > 1 else ""))
     return 0
 

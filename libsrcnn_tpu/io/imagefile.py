@@ -36,7 +36,9 @@ def load_image(path: str) -> np.ndarray:
     if fmt is None:
         raise ValueError(f"{path}: unsupported image format (need JPEG/PNG/BMP)")
     img = Image.open(path)
-    if img.mode in ("RGBA", "LA", "PA"):
+    if (img.mode in ("RGBA", "LA", "PA")
+            or (img.mode == "P" and "transparency" in img.info)):
+        # paletted PNGs carry alpha in a tRNS chunk, not the mode
         img = img.convert("RGBA")
     else:
         img = img.convert("RGB")

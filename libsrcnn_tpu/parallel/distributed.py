@@ -23,7 +23,16 @@ def initialize(coordinator_address: str | None = None,
     On TPU pods the arguments are auto-detected from the environment; pass
     them explicitly for CPU/GPU multi-process testing.
     """
+    import os
+
     if num_processes is not None and num_processes <= 1:
+        return
+    if num_processes is None and coordinator_address is None and not any(
+            os.environ.get(k) for k in
+            ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+             "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS")):
+        # nothing to auto-detect from: a plain single host.  Without this
+        # check jax.distributed.initialize raises instead of no-opping.
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

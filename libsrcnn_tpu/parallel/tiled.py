@@ -159,6 +159,17 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
             f"upscale_tiled implements the srcnn 9-1-5 halo plan; "
             f"model={cfg.model!r} goes multi-chip via "
             f"sharding.upscale_spatial / upscale_batch")
+    if cfg.step_scale:
+        raise ValueError(
+            "step_scale is not supported by the tiled path (it runs one "
+            "direct pass; silently skipping the chained-x2 u8 round trips "
+            "would break bit-identity with api.upscale) -- chain "
+            "upscale_tiled calls per x2 pass instead")
+    if cfg.compute_dtype != "float32":
+        raise ValueError(
+            "the tiled path runs the exact f32 kernel only "
+            f"(compute_dtype={cfg.compute_dtype!r} would silently run "
+            "HIGHEST); use single-chip or upscale_batch for other tiers")
     h, w, d = image.shape
     rows, cols = mesh.shape["row"], mesh.shape["col"]
     dst_w, dst_h = scaled_size(w, h, multiply)

@@ -35,23 +35,37 @@ def trace(logdir: str):
 
 
 def sync(tree) -> None:
-    """Reliable device sync for arbitrary pytrees of jax arrays."""
+    """Reliable device sync for arbitrary pytrees of jax arrays.
+
+    One data-dependent 1-element fetch PER DEVICE: streams are in-order
+    within a device, so one fetch bounds everything queued there, but a
+    leaf on another device needs its own (through the tunneled relay
+    ``block_until_ready`` alone can return early -- CLAUDE.md).
+    """
     import jax
 
     leaves = [x for x in jax.tree_util.tree_leaves(tree)
               if hasattr(x, "block_until_ready")]
     jax.block_until_ready(leaves)
+    seen = set()
     for x in leaves:
+        devs = frozenset(getattr(x, "devices", lambda: ())())
+        if devs and devs <= seen:
+            continue
+        seen |= devs
         np.asarray(x.ravel()[0])
-        break  # one data dependency suffices: device streams are in-order
 
 
 class StageTimer:
     """Accumulate per-stage wall times across iterations.
 
+    The with-block must hand its result to the yielded box (or pass it
+    as ``result=``) -- that is what gets sync'd; without it only the
+    async DISPATCH is timed, which is ~0 through the relay:
+
     >>> t = StageTimer()
-    >>> with t.stage("resize"):
-    ...     out = resize(...)  # sync'd on exit
+    >>> with t.stage("resize") as box:
+    ...     box["out"] = resize(...)   # sync'd on exit
     >>> print(t.report())
     """
 

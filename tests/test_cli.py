@@ -87,3 +87,31 @@ def test_parse_ensemble_flag():
     assert cfg.self_ensemble is True
     _, _, _, _, cfg, _, _ = cli.parse_args(["a.png"])
     assert cfg.self_ensemble is False
+
+
+def test_cli_step_scale_identity_skips_conv(tmp_path, monkeypatch):
+    """--step with a chain that runs zero passes (scale 1.0): the
+    reference leaves convbuff NULL -- the CLI must skip the conv output
+    instead of crashing on conv=None."""
+    from PIL import Image
+
+    src = str(tmp_path / "a.png")
+    Image.fromarray(np.random.default_rng(16).integers(
+        0, 256, (12, 14, 3), np.uint8)).save(src)
+    rc = cli.main([src, "--step", "--scale=1"])
+    assert rc == 0
+    assert os.path.exists(str(tmp_path / "a_resized.png"))
+    assert not os.path.exists(str(tmp_path / "a_convolution.png"))
+
+
+def test_auto_name_dotted_directory():
+    assert cli._auto_name("photos.2024/cat", "resized") == \
+        "photos.2024/cat_resized.png"
+    assert cli._auto_name("a/b.png", "conv") == "a/b_conv.png"
+
+
+def test_cli_tolerates_malformed_numeric_flags(tmp_path):
+    """atof/atoi parity: garbage numeric values keep the defaults."""
+    _, _, _, scale, _cfg, repeat, _ = cli.parse_args(
+        ["x.png", "--scale=abc", "--repeat=zz"])
+    assert scale == 2.0 and repeat == 1

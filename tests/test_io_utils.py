@@ -69,3 +69,33 @@ def test_dump_planes(tmp_path, monkeypatch):
     assert len(written) == 1 and os.path.exists(written[0])
     monkeypatch.delenv("LIBSRCNN_TPU_DEBUG_DIR")
     assert debugtool.dump_planes({"x": np.ones((2, 2))}) == []
+
+
+def test_load_image_paletted_transparency(tmp_path):
+    """Paletted PNGs carry alpha in a tRNS chunk: must load as RGBA."""
+    from PIL import Image
+
+    from libsrcnn_tpu.io import load_image
+
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    rgba[..., 0] = 200
+    rgba[..., 3] = 255
+    rgba[:4, :, 3] = 0  # top half transparent
+    p = str(tmp_path / "pal.png")
+    Image.fromarray(rgba).convert("P").save(p)  # keeps transparency info
+    got = load_image(p)
+    assert got.shape[-1] == 4, got.shape
+    assert (got[:4, :, 3] == 0).all() and (got[4:, :, 3] == 255).all()
+
+
+def test_distributed_initialize_noops_on_plain_host(monkeypatch):
+    """initialize() with all defaults on a non-pod host must no-op, not
+    raise out of jax.distributed auto-detection."""
+    import os
+
+    from libsrcnn_tpu.parallel import distributed
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+              "TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    distributed.initialize()  # must not raise

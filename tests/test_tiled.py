@@ -79,3 +79,22 @@ def test_tiled_rejects_model_families():
     img = np.zeros((16, 16, 3), np.uint8)
     with pytest.raises(ValueError, match="upscale_spatial"):
         upscale_tiled(img, {}, 2.0, SRCNNConfig(model="vdsr"), mesh)
+
+
+def test_tiled_rejects_step_scale_and_non_f32():
+    import numpy as np
+    import pytest
+
+    from libsrcnn_tpu import SRCNNConfig
+    from libsrcnn_tpu.models import srcnn
+    from libsrcnn_tpu.parallel import upscale_tiled
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"data": 2, "row": 2, "col": 2})
+    img = np.zeros((16, 16, 3), np.uint8)
+    params = srcnn.load_params()
+    with pytest.raises(ValueError, match="step_scale"):
+        upscale_tiled(img, params, 4.0, SRCNNConfig(step_scale=True), mesh)
+    with pytest.raises(ValueError, match="f32"):
+        upscale_tiled(img, params, 2.0,
+                      SRCNNConfig(compute_dtype="bfloat16"), mesh)
