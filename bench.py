@@ -64,12 +64,26 @@ def _relay_preflight() -> None:
     """
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return  # CPU/other backend: nothing to check
-    for port in (8082, 8083, 8087, 8092):
-        try:
-            socket.create_connection(("127.0.0.1", port), timeout=3).close()
-            return
-        except OSError:
-            continue
+    # A relay flap at bench time would cost the whole round's artifact,
+    # so poll for a bounded window before giving up (0 disables the wait).
+    wait_s = float(os.environ.get("BENCH_RELAY_WAIT_S", "600"))
+    deadline = time.monotonic() + wait_s
+    announced = False
+    while True:
+        for port in (8082, 8083, 8087, 8092):
+            try:
+                socket.create_connection(("127.0.0.1", port),
+                                         timeout=3).close()
+                return
+            except OSError:
+                continue
+        if time.monotonic() >= deadline:
+            break
+        if not announced:
+            print(f"bench.py: TPU relay down; retrying for up to "
+                  f"{wait_s:.0f}s before giving up", file=sys.stderr)
+            announced = True
+        time.sleep(15)
     print("bench.py: TPU relay unreachable (all probe ports refused) -- "
           "refusing to hang in axon init", file=sys.stderr)
     raise SystemExit(3)
