@@ -63,6 +63,12 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
         raise ValueError("self_ensemble is not implemented for the "
                          "GSPMD batch path; use serve.upscale_frames "
                          "without a mesh (it batches the flip variants)")
+    if cfg.step_scale:
+        raise ValueError(
+            "step_scale is not supported by the GSPMD batch path (it runs "
+            "one direct pass; silently skipping the chained-x2 u8 round "
+            "trips would break bit-identity with api.upscale) -- chain "
+            "upscale_batch calls per x2 pass instead")
     n, h, w, d = images.shape
     dp = mesh.shape["data"]
     if n % dp:
@@ -124,6 +130,12 @@ def upscale_spatial(image, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh
             "upscale_spatial cannot honor use_pallas=True (GSPMD cannot "
             "partition a pallas call); use parallel.tiled.upscale_tiled "
             "for the fused-kernel multi-device path, or use_pallas=None.")
+    if cfg.step_scale:
+        raise ValueError(
+            "step_scale is not supported by the GSPMD spatial path (it "
+            "runs one direct pass; silently skipping the chained-x2 u8 "
+            "round trips would break bit-identity with api.upscale) -- "
+            "chain upscale_spatial calls per x2 pass instead")
     h, w, d = image.shape
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
     params, spec = pipeline.prepare_model_params(cfg, params, h, w,

@@ -201,6 +201,12 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
         raise ValueError("self_ensemble is not implemented for the "
                          "stage-pipelined path; ensemble per frame "
                          "via api.upscale")
+    if cfg.step_scale:
+        raise ValueError(
+            "step_scale is not supported by the stage-pipelined path (it "
+            "runs one direct pass; silently skipping the chained-x2 u8 "
+            "round trips would break bit-identity with api.upscale) -- "
+            "chain upscale_pipelined calls per x2 pass instead")
     n_stages = mesh.shape[axis]
     if n_stages not in _GROUPINGS:
         raise ValueError(

@@ -125,6 +125,19 @@ def test_gspmd_spatial_matches_single(params):
     np.testing.assert_array_equal(np.asarray(conv), refc)
 
 
+def test_mesh_paths_reject_step_scale(params):
+    # step_scale runs chained x2 passes with u8 round trips between them;
+    # the one-pass mesh paths reject it rather than silently diverging
+    # from api.upscale (same contract as tiled / serving).
+    mesh = make_mesh({"data": 2, "row": 2, "col": 2})
+    cfg = SRCNNConfig(step_scale=True)
+    imgs = np.zeros((2, 16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="step_scale"):
+        sharding.upscale_batch(jnp.asarray(imgs), params, 4.0, cfg, mesh)
+    with pytest.raises(ValueError, match="step_scale"):
+        sharding.upscale_spatial(jnp.asarray(imgs[0]), params, 4.0, cfg, mesh)
+
+
 def test_gspmd_spatial_rejects_pallas(params):
     # GSPMD cannot partition a pallas call: an explicit use_pallas=True is
     # an error, never silently ignored (use parallel.tiled instead).

@@ -78,6 +78,14 @@ def test_pipelined_fewer_frames_than_stages(params):
     np.testing.assert_array_equal(np.asarray(conv), ref_conv)
 
 
+def test_pipelined_rejects_step_scale(params):
+    mesh = make_mesh({"stage": 2, "rest": 4})
+    frames = _frames(2)
+    with pytest.raises(ValueError, match="step_scale"):
+        stages.upscale_pipelined(frames, params, 4.0,
+                                 SRCNNConfig(step_scale=True), mesh)
+
+
 def test_pipelined_rejects_lr_family_and_bad_depth(params):
     mesh = make_mesh({"stage": 2, "rest": 4})
     frames = _frames(2)
