@@ -268,13 +268,13 @@ def _kernel_int8(w1_ref, s1_ref, t1_ref, w2_ref, s2_ref, t2_ref,
     out_ref[0, :, 0] = jnp.clip(out, 0.0, 255.0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("th", "interpret", "pad_mode",
-                                    "full_shape"))
-def _fused_int8(y, qp: dict, edge_flags=None, *, th: int, interpret: bool,
-                pad_mode: str = "none", full_shape: tuple | None = None):
-    """int8 twin of :func:`_fused`: same geometry/BlockSpec scheme, the
-    quantized parameter pack instead of f32 weights."""
+def _plane_setup(y, edge_flags, th: int, pad_mode: str,
+                 full_shape: tuple | None):
+    """Shared launch geometry for both kernel variants: resolve the real
+    (h, w) from ``pad_mode`` (see :func:`_fused`), pad ``y`` out to the
+    [need_h, need_w] plane every tile's Element window reads from, and
+    compute the last-tile border-clamp thresholds in c2-local coordinates
+    (+2 ring offset)."""
     if pad_mode == "full":
         h, w = full_shape
     elif pad_mode == "halo":
@@ -285,7 +285,8 @@ def _fused_int8(y, qp: dict, edge_flags=None, *, th: int, interpret: bool,
         edge_flags = jnp.ones((4,), jnp.int32)
     gh, gw = -(-h // th), -(-w // TW)
     hp, wp = gh * th, gw * TW
-    rb = _round8(th + 2 * HALO)
+    rb = _round8(th + 2 * HALO)                   # window rows per block
+    # plane must cover the last tile's full [rb, EW] window
     need_h = (gh - 1) * th + rb
     need_w = (gw - 1) * TW + EW
 
@@ -293,23 +294,35 @@ def _fused_int8(y, qp: dict, edge_flags=None, *, th: int, interpret: bool,
         assert y.shape == (need_h, need_w), (y.shape, need_h, need_w)
         yext = y
     elif pad_mode == "halo":
+        # alignment/tile padding beyond the existing halo (junk region)
         yext = jnp.pad(y, ((0, need_h - (h + 2 * HALO)),
                            (0, need_w - (w + 2 * HALO))), mode="edge")
     else:
         ypad = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
         yext = jnp.pad(ypad, ((HALO, need_h - hp - HALO),
                               (HALO, need_w - wp - HALO)), mode="edge")
+    # [Hp, 1, Wp]: window rows ride the block's MAJOR dim; overlapping
+    # [rb, 1, EW] windows are sliced straight from this plane by the
+    # pl.Element block dims -- no pre-tiled copy in HBM.
     yext = yext[:, None, :]
 
     a_hi = (h - 1) - (gh - 1) * th + 2
     s_hi = (w - 1) - (gw - 1) * TW + 2
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return (h, w, gh, gw, hp, rb, yext, a_hi, s_hi,
+            jnp.asarray(edge_flags, jnp.int32))
+
+
+def _launch(body, params, yext, flags, *, h, w, gh, gw, hp, rb, th,
+            scratch_dtype, interpret):
+    """Shared pallas_call plumbing: grid/BlockSpecs (params in VMEM, edge
+    flags in SMEM, Element-granular input windows), the im2col scratch in
+    the variant's dtype, and the junk-column-dropping reshape epilogue
+    (blocks land in final row order, so no transpose)."""
     out4 = pl.pallas_call(
-        functools.partial(_kernel_int8, th=th, a_hi=a_hi, s_hi=s_hi,
-                          gh=gh, gw=gw),
+        body,
         out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, CW), jnp.float32),
         grid=(gh, gw),
-        in_specs=[vm] * 9 + [
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(params) + [
             pl.BlockSpec(memory_space=pltpu.SMEM),      # edge flags [4]
             pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(EW)),
                          lambda i, j: (i * th, 0, (j * TW) // 128 * 128),
@@ -318,19 +331,35 @@ def _fused_int8(y, qp: dict, edge_flags=None, *, th: int, interpret: bool,
         out_specs=pl.BlockSpec((1, th, 1, 1, CW),
                                lambda i, j: (i, 0, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), scratch_dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * hp * wp * (81 * 64 + 64 * 32 + 25 * 32),
-            bytes_accessed=hp * wp * 8,
+            flops=2 * hp * gw * TW * (81 * 64 + 64 * 32 + 25 * 32),
+            bytes_accessed=hp * gw * TW * 8,
             transcendentals=0,
         ),
-    )(qp["w1q"], qp["s1"], qp["t1"], qp["w2q"], qp["s2"], qp["t2"],
-      qp["w3q"], qp["d3"], qp["b3"],
-      jnp.asarray(edge_flags, jnp.int32), yext)
+    )(*params, flags, yext)
 
     out = out4.reshape(hp, gw, CW)[:, :, :TW].reshape(hp, gw * TW)
     return out[:h, :w]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("th", "interpret", "pad_mode",
+                                    "full_shape"))
+def _fused_int8(y, qp: dict, edge_flags=None, *, th: int, interpret: bool,
+                pad_mode: str = "none", full_shape: tuple | None = None):
+    """int8 twin of :func:`_fused`: same geometry/BlockSpec scheme, the
+    quantized parameter pack instead of f32 weights."""
+    (h, w, gh, gw, hp, rb, yext, a_hi, s_hi,
+     flags) = _plane_setup(y, edge_flags, th, pad_mode, full_shape)
+    body = functools.partial(_kernel_int8, th=th, a_hi=a_hi, s_hi=s_hi,
+                             gh=gh, gw=gw)
+    params = (qp["w1q"], qp["s1"], qp["t1"], qp["w2q"], qp["s2"], qp["t2"],
+              qp["w3q"], qp["d3"], qp["b3"])
+    return _launch(body, params, yext, flags, h=h, w=w, gh=gh, gw=gw,
+                   hp=hp, rb=rb, th=th, scratch_dtype=jnp.int8,
+                   interpret=interpret)
 
 
 def forward_y_int8(qparams: dict, y: jnp.ndarray, *,
@@ -378,74 +407,13 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
         directly); NO padding pass runs at all.  ``full_shape`` gives the
         real (h, w).
     """
-    if pad_mode == "full":
-        h, w = full_shape
-    elif pad_mode == "halo":
-        h, w = y.shape[0] - 2 * HALO, y.shape[1] - 2 * HALO
-    else:
-        h, w = y.shape
-    if edge_flags is None:
-        edge_flags = jnp.ones((4,), jnp.int32)
-    gh, gw = -(-h // th), -(-w // TW)
-    hp, wp = gh * th, gw * TW
-    rb = _round8(th + 2 * HALO)                   # window rows per block
-    # plane must cover the last tile's full [rb, EW] window
-    need_h = (gh - 1) * th + rb
-    need_w = (gw - 1) * TW + EW
-
-    if pad_mode == "full":
-        assert y.shape == (need_h, need_w), (y.shape, need_h, need_w)
-        yext = y
-    elif pad_mode == "halo":
-        # alignment/tile padding beyond the existing halo (junk region)
-        yext = jnp.pad(y, ((0, need_h - (h + 2 * HALO)),
-                           (0, need_w - (w + 2 * HALO))), mode="edge")
-    else:
-        ypad = jnp.pad(y, ((0, hp - h), (0, wp - w)), mode="edge")
-        yext = jnp.pad(ypad, ((HALO, need_h - hp - HALO),
-                              (HALO, need_w - wp - HALO)), mode="edge")
-    # [Hp, 1, Wp]: window rows will ride the block's MAJOR dim; overlapping
-    # [rb, 1, EW] windows are sliced straight from this plane by the
-    # pl.Element block dims -- no pre-tiled copy in HBM.
-    yext = yext[:, None, :]
-
-    # last-tile clamp thresholds in c2-local coordinates (+2 ring offset)
-    a_hi = (h - 1) - (gh - 1) * th + 2
-    s_hi = (w - 1) - (gw - 1) * TW + 2
-    out4 = pl.pallas_call(
-        functools.partial(_kernel, th=th, a_hi=a_hi, s_hi=s_hi,
-                          gh=gh, gw=gw, precision=precision),
-        out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, CW), jnp.float32),
-        grid=(gh, gw),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # w1 [81,64]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # b1 [64]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # w2 [64,32]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # b2 [32]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # w3 [25,32]
-            pl.BlockSpec(memory_space=pltpu.VMEM),      # b3 [1]
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # edge flags [4]
-            pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(EW)),
-                         lambda i, j: (i * th, 0, (j * TW) // 128 * 128),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, th, 1, 1, CW),
-                               lambda i, j: (i, 0, j, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), jnp.float32)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * hp * wp * (81 * 64 + 64 * 32 + 25 * 32),
-            bytes_accessed=hp * wp * 8,
-            transcendentals=0,
-        ),
-    )(w1, b1, w2, b2, w3, b3,
-      jnp.asarray(edge_flags, jnp.int32), yext)
-
-    # re-assemble: [gh, th, gw, 1, CW] -> [hp, gw*TW]; pure reshape +
-    # junk-column slice, no transpose (blocks sit in final row order)
-    out = out4.reshape(hp, gw, CW)[:, :, :TW].reshape(hp, gw * TW)
-    return out[:h, :w]
+    (h, w, gh, gw, hp, rb, yext, a_hi, s_hi,
+     flags) = _plane_setup(y, edge_flags, th, pad_mode, full_shape)
+    body = functools.partial(_kernel, th=th, a_hi=a_hi, s_hi=s_hi,
+                             gh=gh, gw=gw, precision=precision)
+    return _launch(body, (w1, b1, w2, b2, w3, b3), yext, flags, h=h, w=w,
+                   gh=gh, gw=gw, hp=hp, rb=rb, th=th,
+                   scratch_dtype=jnp.float32, interpret=interpret)
 
 
 def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
