@@ -6,15 +6,19 @@ frame -> x2 bicubic + SRCNN 9-1-5 -> RGB u8, measured as OUTPUT megapixels
 per second on one chip, steady state (inputs device-resident; host PNG I/O
 excluded on both sides of the comparison).
 
-Both compute tiers are measured in one process and reported in the one
-JSON line:
+All three compute tiers are measured in one process and reported in the
+one JSON line:
 
-* ``value`` (the headline) is the THROUGHPUT tier (split-bf16x2 Pallas
-  kernel): the BASELINE.json target is ">=50x CPU at >=0.99 SSIM vs the
-  reference", and this tier measures SSIM 0.99995 / 53.3 dB / max 2 u8
-  against the bit-exact tier (PERF.md) -- far inside the quality bar.
-  (The reference itself ships with `-ffast-math -O3`; bit-identity to
-  IEEE f32 is not part of its contract either.)
+* ``value`` (the headline) is the FASTEST tier passing the quality bar:
+  the BASELINE.json target is ">=50x CPU at >=0.99 SSIM vs the
+  reference", and the tiers' SSIM vs the bit-exact tier is MEASURED in
+  this run (on one of the benchmark frames) and reported as
+  ``ssim_vs_exact``; if the bf16x1 tier ever fell below 0.99 the
+  headline would fall back to the split tier automatically.  (The
+  reference itself ships with `-ffast-math -O3`; bit-identity to IEEE
+  f32 is not part of its contract either.)  Tiers, fastest first:
+  ``bfloat16_fast`` (single-pass bf16 MXU GEMMs), ``bfloat16``
+  (split-bf16x2: exact activations, two passes), both in PERF.md.
 * ``exact_mp_per_sec`` is the EXACT tier (multi-pass f32 GEMMs), the
   library default, which the golden gate holds to <=1 u8 LSB against the
   reference binary on 23 configs; it is precision-algorithm-bound at
@@ -96,15 +100,17 @@ def main() -> None:
     import jax.numpy as jnp
 
     from libsrcnn_tpu import SRCNNConfig
-    from libsrcnn_tpu.models import srcnn
+    from libsrcnn_tpu.eval import metrics
     from libsrcnn_tpu import pipeline
 
     # use_pallas=None auto-selects the fused Pallas kernel on TPU;
     # BENCH_PALLAS=0 forces the XLA path for comparison runs.
     use_pallas = False if os.environ.get("BENCH_PALLAS") == "0" else None
     modes = {
-        "throughput": SRCNNConfig(use_pallas=use_pallas,
-                                  compute_dtype="bfloat16"),
+        "fast": SRCNNConfig(use_pallas=use_pallas,
+                            compute_dtype="bfloat16_fast"),
+        "split": SRCNNConfig(use_pallas=use_pallas,
+                             compute_dtype="bfloat16"),
         "exact": SRCNNConfig(use_pallas=use_pallas),
     }
 
@@ -122,10 +128,11 @@ def main() -> None:
         return last
 
     results = {}
+    outs = {}
     mp = None
-    for name in ("throughput", "exact"):
+    for name in ("fast", "split", "exact"):
         cfg = modes[name]
-        params = jax.device_put(srcnn.load_params(dtype=cfg.compute_dtype))
+        params = jax.device_put(pipeline.load_model_params(cfg, SCALE))
         try:
             last = run_stream(params, cfg)  # compile + warmup
         except Exception:
@@ -146,14 +153,23 @@ def main() -> None:
         out = last[0]
         mp = out.shape[0] * out.shape[1] / 1e6
         results[name] = mp / float(np.median(times))
+        outs[name] = np.asarray(out)
 
-    value = results["throughput"]
+    # Quality gate, measured in this run (worst-case content: the frames
+    # are uniform noise): headline = fastest tier with SSIM >= 0.99 vs
+    # the exact (golden-gated) tier.
+    ssim = {n: metrics.ssim(outs[n], outs["exact"]) for n in ("fast", "split")}
+    head = "fast" if ssim["fast"] >= 0.99 else "split"
+    mode_desc = {"fast": "bf16x1 single-pass", "split": "split-bf16x2"}[head]
     print(json.dumps({
         "metric": "mp_per_sec_x2_srcnn",
-        "value": round(value, 2),
+        "value": round(results[head], 2),
         "unit": "MP/s",
-        "vs_baseline": round(value / BASELINE_MP_S, 1),
-        "mode": "split-bf16x2 (SSIM 0.99995 vs exact tier; >=0.99 required)",
+        "vs_baseline": round(results[head] / BASELINE_MP_S, 1),
+        "mode": (f"{mode_desc} (measured SSIM {ssim[head]:.5f} vs exact "
+                 f"tier; >=0.99 required)"),
+        "ssim_vs_exact": round(ssim[head], 5),
+        "split_mp_per_sec": round(results["split"], 2),
         "exact_mp_per_sec": round(results["exact"], 2),
         "exact_vs_baseline": round(results["exact"] / BASELINE_MP_S, 1),
     }))

@@ -35,7 +35,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from libsrcnn_tpu.kernels import fused_conv as fc
 
 
-def build_ablated(stage: str, th: int = fc.DEFAULT_TH):
+def build_ablated(stage: str, th: int = fc.DEFAULT_TH, mode: str = "exact"):
     """Jitted y-plane runner with phases after ``stage`` stubbed out."""
     import jax
     import jax.numpy as jnp
@@ -43,7 +43,9 @@ def build_ablated(stage: str, th: int = fc.DEFAULT_TH):
     from jax.experimental.pallas import tpu as pltpu
 
     HALO, TW, CW, EW = fc.HALO, fc.TW, fc.CW, fc.EW
-    precision = jax.lax.Precision.HIGHEST
+    precision = {"exact": jax.lax.Precision.HIGHEST,
+                 "split": jax.lax.Precision.DEFAULT,
+                 "bf16x1": fc.BF16X1}[mode]
 
     def kern(w1r, b1r, w2r, b2r, w3r, b3r, fl, win, out, q_scr):
         j = pl.program_id(1)
@@ -65,16 +67,12 @@ def build_ablated(stage: str, th: int = fc.DEFAULT_TH):
         if stage == "im2col":
             out[0, :, 0] = q[0:th, 0:1, :]
             return
-        h1 = jax.lax.dot_general(q, w1r[:], (((1,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)
+        h1 = fc._dot(q, w1r[:], (((1,), (0,)), ((), ())), precision)
         h1 = jnp.maximum(h1 + b1r[:], 0.0)
         if stage == "conv1":
             out[0, :, 0] = h1[0:th, :, 0:1].swapaxes(1, 2)
             return
-        h2 = jax.lax.dot_general(h1, w2r[:], (((2,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32,
-                                 precision=precision)
+        h2 = fc._dot(h1, w2r[:], (((2,), (0,)), ((), ())), precision)
         c2 = jnp.maximum(h2 + b2r[:], 0.0)
         out[0, :, 0] = c2[0:th, :, 0:1].swapaxes(1, 2)   # stage == "conv2"
 
@@ -110,11 +108,17 @@ def build_ablated(stage: str, th: int = fc.DEFAULT_TH):
     return run
 
 
-def main(size=2048):
+def main(size=2048, mode="exact", th=None):
     import jax
     import jax.numpy as jnp
 
     from libsrcnn_tpu.models import srcnn
+
+    if th is None:
+        th = fc.DEFAULT_TH
+    precision = {"exact": jax.lax.Precision.HIGHEST,
+                 "split": jax.lax.Precision.DEFAULT,
+                 "bf16x1": fc.BF16X1}[mode]
 
     p = srcnn.load_params()
     w1 = np.asarray(p["w1"]).reshape(81, 64).astype(np.float32)
@@ -143,16 +147,17 @@ def main(size=2048):
 
     mp = size * size / 1e6
     print(f"fused-kernel v2 ablation @ {size}x{size} Y plane ({mp:.2f} MP), "
-          f"backend={jax.default_backend()}")
+          f"mode={mode} th={th}, backend={jax.default_backend()}")
     prev = None
     for stage in ("dma", "roll", "im2col", "conv1", "conv2"):
-        run = build_ablated(stage)
+        run = build_ablated(stage, th=th, mode=mode)
         ms = stream_time(lambda: run(y, *args))
         delta = "" if prev is None else f"  (+{ms - prev:6.2f})"
         print(f"  {stage:8s} {ms:8.2f} ms{delta}  {mp / (ms / 1e3):7.1f} MP/s",
               flush=True)
         prev = ms
-    real = stream_time(lambda: fc.forward_y(p, y))
+    real = stream_time(lambda: fc.forward_y(p, y, tile_h=th,
+                                            precision=precision))
     print(f"  full     {real:8.2f} ms  (+{real - prev:6.2f})  "
           f"{mp / (real / 1e3):7.1f} MP/s   <- production forward_y "
           f"(conv3 + border + epilogue)")
@@ -160,4 +165,12 @@ def main(size=2048):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2048)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("size", type=int, nargs="?", default=2048)
+    ap.add_argument("--mode", choices=("exact", "split", "bf16x1"),
+                    default="exact")
+    ap.add_argument("--th", type=int, default=None)
+    a = ap.parse_args()
+    main(a.size, a.mode, a.th)

@@ -41,8 +41,9 @@ def capture(size: int, mode: str, iters: int = 4,
     else:
         dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
         params = jax.device_put(srcnn.load_params(dtype=dtype))
-    prec = (jax.lax.Precision.HIGHEST if mode == "exact"
-            else jax.lax.Precision.DEFAULT)
+    prec = {"exact": jax.lax.Precision.HIGHEST,
+            "split": jax.lax.Precision.DEFAULT,
+            "bf16x1": fused_conv.BF16X1}.get(mode)
     if th is None:
         th = fused_conv.DEFAULT_TH
     need_h, need_w = fused_conv.padded_geometry(size, size, th=th)
@@ -105,7 +106,7 @@ def report(trace_dir: str, iters: int, out_mp: float) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
-    ap.add_argument("--mode", choices=("exact", "split", "int8"),
+    ap.add_argument("--mode", choices=("exact", "split", "bf16x1", "int8"),
                     default="exact")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--th", type=int, default=None,

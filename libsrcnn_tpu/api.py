@@ -188,7 +188,7 @@ def debug_intermediates(
         # the dumper mirrors the reference's f32 DEBUG path; the int8
         # tier's intermediates are its f32 dequants, so dump those weights
         dtype = ("float32" if config.compute_dtype == "int8"
-                 else config.compute_dtype)
+                 else pipeline.param_dtype(config.compute_dtype))
         params = srcnn.load_params(dtype=dtype)
     planes = pipeline.run_intermediates(img, params, float(scale), config)
     return {k: np.asarray(v) for k, v in planes.items()}

@@ -90,6 +90,8 @@ def parse_args(argv: list[str]):
                 raise SystemExit(f"unknown model: {model}")
         elif arg == "--bf16":
             dtype = "bfloat16"  # throughput mode (~1.5x, SSIM>=0.999)
+        elif arg == "--bf16-fast":
+            dtype = "bfloat16_fast"  # fastest bf16 tier (1-pass GEMMs)
         elif arg == "--int8":
             dtype = "int8"      # draft tier (fastest, ~40 dB vs exact)
         elif arg.startswith("--repeat="):
@@ -112,7 +114,8 @@ def parse_args(argv: list[str]):
         raise SystemExit(
             "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
             "--scale=F --filter=0..4|name --step --pallas|--no-pallas "
-            "--model=srcnn|fsrcnn|espcn|vdsr --ensemble --bf16 --int8 "
+            "--model=srcnn|fsrcnn|espcn|vdsr --ensemble --bf16 "
+            "--bf16-fast --int8 "
             "--repeat=N "
             "--debug-dir=DIR"
         )

@@ -46,8 +46,13 @@ class SRCNNConfig:
         u8 round-trip between passes, mirroring `libsrcnn.cpp:980-1061`.
       compute_dtype: dtype for the conv stack on device.  ``float32`` matches
         the reference closely; ``bfloat16`` trades ~1 u8 LSB of precision for
-        MXU throughput (for the learned model families it selects
-        single-pass bf16 convs -- 1.9-2.8x, quality deltas in PERF.md);
+        MXU throughput (split-bf16x2 in the fused srcnn kernel -- exact
+        activations, bf16-rounded weights; for the learned model families
+        it selects single-pass bf16 convs -- 1.9-2.8x, quality deltas in
+        PERF.md); ``bfloat16_fast`` (srcnn model only) drops the split's
+        lo-pass for ONE native MXU pass per GEMM -- the fastest tier,
+        adding the activations' bf16 rounding (~2 u8 max vs the split
+        tier, SSIM vs exact still >=0.999, PERF.md round-3 table);
         ``int8`` (srcnn model only) is the quantized draft tier -- the
         v5e MXU runs int8 at 2x the bf16 rate; quality vs the exact path
         is ~40 dB PSNR (see PERF.md and models/srcnn_int8.py).

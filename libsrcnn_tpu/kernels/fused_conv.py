@@ -59,6 +59,10 @@ EW = 384          # window block lane width: Mosaic requires Element lane
 
 
 DEFAULT_TH = 40   # largest tile height fitting VMEM (f32 GEMM buffers)
+BF16_TH = 48      # bf16 modes: HIGHEST's 3-pass GEMMs keep hi/lo operand
+                  # splits live and cap th at 40; the 1/2-pass bf16 modes
+                  # have smaller live sets and th=48 measured fastest of
+                  # {40, 48, 64, 80} (benchmarks/bf16_mode_sweep.py)
 INT8_TH = 80      # int8 kernel default: no hi/lo GEMM splits + int8 scratch
                   # leave VMEM headroom for taller tiles; th=80 measured
                   # fastest of {40, 80, 120} (benchmarks/int8_th_sweep.py)
@@ -78,11 +82,22 @@ def padded_geometry(h: int, w: int, th: int = DEFAULT_TH) -> tuple[int, int]:
     return (gh - 1) * th + rb, (gw - 1) * TW + EW
 
 
+#: sentinel precision for the single-pass bf16 mode (see :func:`_dot`)
+BF16X1 = "bf16x1"
+
+
 def _dot(x, w, dims, precision):
     """GEMM with the mode's precision strategy.
 
     * HIGHEST: one dot, Mosaic's multi-pass exact-f32 algorithm (the only
       exact option -- Mosaic rejects Precision.HIGH outright).
+    * ``BF16X1``: ONE native MXU pass -- activations bulk-cast
+      (round-to-nearest) to bf16, bf16 weights.  The im2col scratch stays
+      f32 (a bf16 scratch hits Mosaic's packed-sublane RMW penalty on the
+      81 tap stores -- the round-2 "bf16 operand storage" rejection
+      measured that, not the GEMM pass count).  Error adds the
+      activations' bf16 rounding (~2^-9 relative) on top of the weight
+      rounding.
     * anything else ("throughput mode"): split-bf16x2 -- the f32
       activations are split into hi+lo bf16 halves and run as TWO native
       single-pass MXU GEMMs against bf16 weights, then summed in f32.
@@ -96,9 +111,11 @@ def _dot(x, w, dims, precision):
                                    preferred_element_type=jnp.float32,
                                    precision=precision)
     hi = x.astype(jnp.bfloat16)
-    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     wb = w.astype(jnp.bfloat16)
     a = jax.lax.dot_general(hi, wb, dims, preferred_element_type=jnp.float32)
+    if precision == BF16X1:
+        return a
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
     b = jax.lax.dot_general(lo, wb, dims, preferred_element_type=jnp.float32)
     return a + b
 
@@ -168,13 +185,14 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
     else:
         # split path, operands swapped vs _dot: split the activations c2t
         hi = c2t.astype(jnp.bfloat16)
-        lo = (c2t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         wbb = wb.astype(jnp.bfloat16)
         dims = (((2,), (1,)), ((0,), (0,)))
-        g = (jax.lax.dot_general(wbb, hi, dims,
-                                 preferred_element_type=jnp.float32)
-             + jax.lax.dot_general(wbb, lo, dims,
-                                   preferred_element_type=jnp.float32))
+        g = jax.lax.dot_general(wbb, hi, dims,
+                                preferred_element_type=jnp.float32)
+        if precision != BF16X1:
+            lo = (c2t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            g = g + jax.lax.dot_general(wbb, lo, dims,
+                                        preferred_element_type=jnp.float32)
     q25 = None                                    # [ch, 5, CW]: dy planes
     for dx in range(5):
         blk = g[:, 5 * dx:5 * dx + 5, :]
@@ -416,6 +434,12 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
                    scratch_dtype=jnp.float32, interpret=interpret)
 
 
+def tile_h_for(precision) -> int:
+    """The mode's default tile height (the pipeline must use the same th
+    for :func:`padded_geometry` and :func:`forward_y`)."""
+    return DEFAULT_TH if precision == jax.lax.Precision.HIGHEST else BF16_TH
+
+
 def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
               interpret: bool | None = None,
               precision=jax.lax.Precision.HIGHEST,
@@ -434,7 +458,7 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if tile_h is None:
-        tile_h = DEFAULT_TH
+        tile_h = tile_h_for(precision)
     squeeze = y.ndim == 2
     if squeeze:
         y = y[None]

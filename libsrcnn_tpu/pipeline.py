@@ -38,6 +38,14 @@ def _lr_family(name: str):
     return importlib.import_module(f".models.{name}", __package__)
 
 
+def param_dtype(compute_dtype: str) -> str:
+    """Storage dtype for srcnn params.  ``bfloat16_fast`` is a GEMM-pass
+    policy, not a storage dtype: it shares bf16 weight storage with the
+    split tier (the fused kernel re-casts operands internally either way;
+    on the XLA fallback path both bf16 modes run bf16-operand convs)."""
+    return "bfloat16" if compute_dtype == "bfloat16_fast" else compute_dtype
+
+
 def family_precision(compute_dtype: str):
     """MXU dot algorithm for the learned model families (which have no u8
     golden gate): exact multi-pass f32, or single-pass bf16 throughput."""
@@ -73,7 +81,7 @@ def load_model_params(cfg: "SRCNNConfig", scale: float = 2.0) -> dict:
         from .models import srcnn_int8
 
         return srcnn_int8.load_params()
-    return srcnn.load_params(dtype=cfg.compute_dtype)
+    return srcnn.load_params(dtype=param_dtype(cfg.compute_dtype))
 
 
 def prepare_model_params(cfg: "SRCNNConfig", params: dict, h: int, w: int,
@@ -150,20 +158,24 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
         import jax
         from .kernels import fused_conv
 
-        # The resize gather emits the kernel's fully padded plane (6 px
-        # replicate halo + tile-alignment junk) directly, so the kernel
-        # runs zero padding passes over HBM (see resize_plane_padded).
-        need_h, need_w = fused_conv.padded_geometry(dst_h, dst_w)
-        y_r = resize.resize_plane_padded(planes[0], dst_h, dst_w, y_filter,
-                                         fused_conv.HALO, need_h, need_w)
         # float32 forces the kernel's multi-pass exact-f32 GEMMs, matching
         # the reference; bfloat16 selects the split-bf16x2 throughput mode
         # (activations split hi/lo into two native MXU passes, bf16
         # weights) -- measured both faster AND more accurate than naive
-        # single-pass bf16 matmuls (see kernels/fused_conv._dot).
-        prec = (jax.lax.Precision.HIGHEST if compute_dtype == "float32"
-                else jax.lax.Precision.DEFAULT)
+        # single-pass bf16 matmuls; bfloat16_fast drops the lo-pass for
+        # ONE MXU pass per GEMM (see kernels/fused_conv._dot).
+        prec = {"float32": jax.lax.Precision.HIGHEST,
+                "bfloat16": jax.lax.Precision.DEFAULT,
+                "bfloat16_fast": fused_conv.BF16X1}[compute_dtype]
+        th = fused_conv.tile_h_for(prec)
+        # The resize gather emits the kernel's fully padded plane (6 px
+        # replicate halo + tile-alignment junk) directly, so the kernel
+        # runs zero padding passes over HBM (see resize_plane_padded).
+        need_h, need_w = fused_conv.padded_geometry(dst_h, dst_w, th=th)
+        y_r = resize.resize_plane_padded(planes[0], dst_h, dst_w, y_filter,
+                                         fused_conv.HALO, need_h, need_w)
         y_sr = fused_conv.forward_y(params, y_r, precision=prec,
+                                    tile_h=th,
                                     full_pad_shape=(dst_h, dst_w))
     else:
         y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)

@@ -85,6 +85,17 @@ def test_bf16_mode_both_paths(img):
         assert np.abs(exact.astype(int) - fast.astype(int)).max() <= 4
 
 
+def test_bf16_fast_mode_both_paths(img):
+    """bfloat16_fast (single-pass GEMMs) must run on both paths and stay
+    within a few LSB of the exact output (adds the activations' bf16
+    rounding on top of the split tier's weight rounding)."""
+    exact = lt.upscale(img, 2.0)
+    for pall in (False, True):
+        fast = lt.upscale(img, 2.0, lt.SRCNNConfig(
+            compute_dtype="bfloat16_fast", use_pallas=pall))
+        assert np.abs(exact.astype(int) - fast.astype(int)).max() <= 8
+
+
 def test_gray_promotion(img):
     out = lt.upscale(img[..., 0], 2.0)
     assert out.shape == (40, 48, 3)

@@ -80,6 +80,8 @@ def test_parse_pallas_and_bf16_flags():
     assert cfg.use_pallas is False and cfg.compute_dtype == "bfloat16"
     _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--pallas"])
     assert cfg.use_pallas is True
+    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--bf16-fast"])
+    assert cfg.compute_dtype == "bfloat16_fast"
 
 
 def test_parse_ensemble_flag():

@@ -47,6 +47,34 @@ def test_fused_output_range(params):
     assert out.min() >= 0.0 and out.max() <= 255.0
 
 
+def test_bf16_modes_accuracy_ladder(params):
+    """The three precision modes form an accuracy ladder vs the XLA-exact
+    output: exact < split-bf16x2 < bf16x1, each within its documented
+    envelope (PERF.md), and the two bf16 modes share the taller default
+    tile height."""
+    import jax
+
+    y = np.random.default_rng(18).uniform(0, 255, (100, 150)).astype(np.float32)
+    ref = np.asarray(srcnn.forward_y(params, jnp.asarray(y)))
+    exact = np.asarray(fused_conv.forward_y(
+        params, jnp.asarray(y), precision=jax.lax.Precision.HIGHEST))
+    split = np.asarray(fused_conv.forward_y(
+        params, jnp.asarray(y), precision=jax.lax.Precision.DEFAULT))
+    x1 = np.asarray(fused_conv.forward_y(
+        params, jnp.asarray(y), precision=fused_conv.BF16X1))
+    d_exact = np.abs(exact - ref).max()
+    d_split = np.abs(split - ref).max()
+    d_x1 = np.abs(x1 - ref).max()
+    assert d_exact <= 2e-3
+    assert d_split <= 4.0       # weight bf16 rounding only
+    assert d_x1 <= 8.0          # + activation bf16 rounding
+    assert d_exact < d_split < d_x1
+    assert fused_conv.tile_h_for(jax.lax.Precision.HIGHEST) == 40
+    assert (fused_conv.tile_h_for(jax.lax.Precision.DEFAULT)
+            == fused_conv.tile_h_for(fused_conv.BF16X1)
+            == fused_conv.BF16_TH)
+
+
 def test_resolve_pallas_auto():
     # CPU backend in tests -> auto resolves to XLA
     assert resolve_pallas(None) is False
