@@ -62,6 +62,8 @@ def bench_paths(size=1024, scale=2.0):
         ("pallas-exact", SRCNNConfig(use_pallas=True)),
         ("pallas-bf16", SRCNNConfig(use_pallas=True,
                                     compute_dtype="bfloat16")),
+        ("pallas-bf16x1", SRCNNConfig(use_pallas=True,
+                                      compute_dtype="bfloat16_fast")),
         ("pallas-int8", SRCNNConfig(use_pallas=True, compute_dtype="int8")),
     ]:
         params = jax.device_put(pipeline.load_model_params(cfg, scale))

@@ -228,6 +228,8 @@ def main(argv=None) -> int:
             batch = int(arg[8:]) or None
         elif arg == "--bf16":
             dtype = "bfloat16"
+        elif arg == "--bf16-fast":
+            dtype = "bfloat16_fast"  # srcnn only: fastest single-pass tier
         elif arg == "--ensemble":
             ensemble = True
         elif arg.startswith("--"):
@@ -240,7 +242,8 @@ def main(argv=None) -> int:
         raise SystemExit("usage: srcnn-tpu-video <in.(gif|mp4|avi|...)> "
                          "[out] --scale=F "
                          "--model=srcnn|fsrcnn|espcn|vdsr "
-                         "--filter=0..4 --batch=N --bf16 --ensemble")
+                         "--filter=0..4 --batch=N --bf16 --bf16-fast "
+                         "--ensemble")
     if dst is None:
         # keep the source container for animations and videos (_auto_name
         # picks .png, which would silently re-wrap a GIF as APNG)

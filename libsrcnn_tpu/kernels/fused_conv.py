@@ -120,6 +120,52 @@ def _dot(x, w, dims, precision):
     return a + b
 
 
+def _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw):
+    """Reference border semantics (`libsrcnn.cpp:463-489`): conv3 reads
+    conv2's OUTPUT clamped to the valid image rectangle, so at true image
+    edges the c2 halo ring is REPLACED by the edge c2 value rather than
+    computed over the replicate-padded input ring.  Majors = rows
+    (global row = i*th + a - 2), sublanes = cols (global = j*TW + s - 2).
+    flags_ref [4] gates each edge: all-ones when this plane's borders are
+    true image edges; in the multi-chip halo path an interior shard sets
+    its flags to 0 so the ring keeps real neighbor-pixel values.
+    Elementwise, so it applies equally to f32 conv2 outputs and to the
+    int8 kernel's int32 accumulators (its folded epilogue is elementwise
+    per channel)."""
+    import jax
+
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
+    c2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),
+                   c2[2:3], c2)
+    c2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
+                   c2[a_hi:a_hi + 1], c2)
+    c2 = jnp.where((flags_ref[2] == 1) & (j == 0) & (col_idx < 2),
+                   c2[:, 2:3, :], c2)
+    c2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
+                   c2[:, s_hi:s_hi + 1, :], c2)
+    return c2
+
+
+def _conv3_roll_reduce(g, th: int):
+    """Collapse conv3's tap GEMM output G [ch, 25, CW] (taps ordered
+    k = 5*dx + dy): 5 lane rolls fold the dx shifts (valid columns never
+    wrap: x+dx <= 123+4 < 128, wrapped values land only in the 4 junk
+    columns), 5 major-offset adds fold the dy shifts.  Dtype-generic
+    (f32 kernel / int32 int8 kernel)."""
+    q25 = None                                    # [ch, 5, CW]: dy planes
+    for dx in range(5):
+        blk = g[:, 5 * dx:5 * dx + 5, :]
+        # left-rotate by dx == roll by CW-dx (pltpu.roll wants shift >= 0)
+        r = pltpu.roll(blk, CW - dx, axis=2) if dx else blk
+        q25 = r if q25 is None else q25 + r
+    acc = None                                    # [th, 1, CW]
+    for dy in range(5):
+        t = q25[dy:dy + th, dy:dy + 1, :]
+        acc = t if acc is None else acc + t
+    return acc
+
+
 def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
             win_ref, out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
             gh: int, gw: int, precision=None):
@@ -133,6 +179,14 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
     ext = pltpu.roll(ext, (EW - shift) % EW, axis=2)
 
     # --- im2col: taps -> sublanes --------------------------------------
+    # The scratch stays f32 in every mode.  A bf16 scratch (halving the
+    # im2col traffic, ~1.7 ms of the 5.2 ms bf16x1 kernel) was attempted
+    # with word-aligned PAIRED tap stores (dodging the packed-sublane RMW
+    # penalty that sank single bf16/int8 tap stores): Mosaic's compile
+    # helper crashes outright on the concat+2-sublane-store pattern at
+    # every tile height (round 3; same restructure territory where the
+    # row-band/supertile variants died in round 2).  Re-test on a newer
+    # toolchain.
     for dy in range(9):
         for dx in range(9):
             k = dy * 9 + dx
@@ -149,24 +203,7 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
               precision)                          # [ch, CW, 32] f32
     c2 = jnp.maximum(h2 + b2_ref[:], 0.0)
 
-    # --- reference border semantics (`libsrcnn.cpp:463-489`): conv3 reads
-    # conv2's OUTPUT clamped to the valid image rectangle, so at true image
-    # edges the c2 halo ring is REPLACED by the edge c2 value rather than
-    # computed over the replicate-padded input ring.  Majors = rows
-    # (global row = i*th + a - 2), sublanes = cols (global = j*TW + s - 2).
-    # flags_ref [4] gates each edge: all-ones when this plane's borders are
-    # true image edges; in the multi-chip halo path an interior shard sets
-    # its flags to 0 so the ring keeps real neighbor-pixel values.
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
-    c2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),
-                   c2[2:3], c2)
-    c2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
-                   c2[a_hi:a_hi + 1], c2)
-    c2 = jnp.where((flags_ref[2] == 1) & (j == 0) & (col_idx < 2),
-                   c2[:, 2:3, :], c2)
-    c2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
-                   c2[:, s_hi:s_hi + 1, :], c2)
+    c2 = _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw)
 
     # --- conv3 on the MXU: one batched GEMM contracts the 32 channels
     # against ALL 25 tap weight vectors -> G [ch, 25, CW] with taps
@@ -193,16 +230,7 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
             lo = (c2t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             g = g + jax.lax.dot_general(wbb, lo, dims,
                                         preferred_element_type=jnp.float32)
-    q25 = None                                    # [ch, 5, CW]: dy planes
-    for dx in range(5):
-        blk = g[:, 5 * dx:5 * dx + 5, :]
-        # left-rotate by dx == roll by CW-dx (pltpu.roll wants shift >= 0)
-        r = pltpu.roll(blk, CW - dx, axis=2) if dx else blk
-        q25 = r if q25 is None else q25 + r
-    acc = None                                    # [th, 1, CW]
-    for dy in range(5):
-        t = q25[dy:dy + th, dy:dy + 1, :]
-        acc = t if acc is None else acc + t
+    acc = _conv3_roll_reduce(g, th)
     out_ref[0, :, 0] = jnp.clip(acc + b3_ref[0], 0.0, 255.0)
 
 
@@ -249,20 +277,10 @@ def _kernel_int8(w1_ref, s1_ref, t1_ref, w2_ref, s2_ref, t2_ref,
     acc2 = jax.lax.dot_general(h1q, w2_ref[:], (((2,), (0,)), ((), ())),
                                preferred_element_type=jnp.int32)
 
-    # reference conv2-output border clamp (same as _kernel), applied to the
-    # int32 accumulators: the folded epilogue is elementwise per channel,
-    # so replicating accumulators == replicating the reference's f32
-    # conv2 outputs
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
-    acc2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),
-                     acc2[2:3], acc2)
-    acc2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
-                     acc2[a_hi:a_hi + 1], acc2)
-    acc2 = jnp.where((flags_ref[2] == 1) & (j == 0) & (col_idx < 2),
-                     acc2[:, 2:3, :], acc2)
-    acc2 = jnp.where((flags_ref[3] == 1) & (j == gw - 1) & (col_idx > s_hi),
-                     acc2[:, s_hi:s_hi + 1, :], acc2)
+    # applied to the int32 accumulators: the folded epilogue is elementwise
+    # per channel, so replicating accumulators == replicating the
+    # reference's f32 conv2 outputs
+    acc2 = _border_clamp(acc2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw)
 
     c2q = jnp.clip(jnp.round(acc2.astype(jnp.float32) * s2_ref[:]
                              + t2_ref[:]), 0, 127).astype(jnp.int8)
@@ -273,15 +291,7 @@ def _kernel_int8(w1_ref, s1_ref, t1_ref, w2_ref, s2_ref, t2_ref,
         preferred_element_type=jnp.int32)         # [ch, 25, CW] int32
     # roll-reduce stays in int32 (exact) -- ONE f32 scale at the end,
     # matching the XLA twin's full-int32 accumulate
-    q25 = None
-    for dx in range(5):
-        blk = g[:, 5 * dx:5 * dx + 5, :]
-        r = pltpu.roll(blk, CW - dx, axis=2) if dx else blk
-        q25 = r if q25 is None else q25 + r
-    acc = None
-    for dy in range(5):
-        t = q25[dy:dy + th, dy:dy + 1, :]
-        acc = t if acc is None else acc + t
+    acc = _conv3_roll_reduce(g, th)
     out = acc.astype(jnp.float32) * d3_ref[0] + b3_ref[0]
     out_ref[0, :, 0] = jnp.clip(out, 0.0, 255.0)
 
