@@ -155,22 +155,25 @@ def bench_batch(size=512, scale=2.0, batches=(1, 4, 8)):
         print(f"  batch {b:2d}: {dt*1000:8.1f} ms  {mp/dt:8.1f} MP/s")
 
 
-def bench_batch_device(scale=2.0, sizes=(256, 512), batches=(1, 4, 8, 16)):
+def bench_batch_device(scale=2.0, sizes=(256, 512), batches=(1, 4, 8, 16),
+                       dtype="float32"):
     """Small-frame serving throughput with DEVICE-RESIDENT outputs: one
     vmapped dispatch per clip (serve._batch_pass), stream-timed with a
     single final 1-element sync -- measures the chip, not the ~27 MB/s
     relay transfer that bench_batch includes.  This is the number that
-    shows batched dispatch recovering small-frame throughput."""
+    shows batched dispatch recovering small-frame throughput.
+    ``dtype`` selects the srcnn compute tier (float32 / bfloat16 /
+    bfloat16_fast)."""
     import jax
     import jax.numpy as jnp
 
     from libsrcnn_tpu import SRCNNConfig, serve
-    from libsrcnn_tpu.models import srcnn
+    from libsrcnn_tpu import pipeline as _pl
 
-    params = jax.device_put(srcnn.load_params())
-    cfg = SRCNNConfig()
+    cfg = SRCNNConfig(compute_dtype=dtype)
+    params = jax.device_put(_pl.load_model_params(cfg, scale))
     rng = np.random.default_rng(0)
-    print(f"batched serving, device-resident outputs (x{scale}):")
+    print(f"batched serving, device-resident outputs (x{scale}, {dtype}):")
     for size in sizes:
         for b in batches:
             clips = [jax.device_put(jnp.asarray(rng.integers(
@@ -302,6 +305,8 @@ def main(argv=None):
         bench_batch()
     if "batch-device" in which:
         bench_batch_device()
+    if "batch-device-fast" in which:
+        bench_batch_device(dtype="bfloat16_fast")
     if "models" in which:
         bench_models()
     if "scaling" in which:

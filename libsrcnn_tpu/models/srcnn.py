@@ -40,8 +40,18 @@ def _load_npz() -> dict[str, np.ndarray]:
 
 
 def load_params(dtype=jnp.float32) -> dict[str, jnp.ndarray]:
-    """Load the pre-trained 8,129 SRCNN parameters as a pytree."""
-    return {k: jnp.asarray(v, dtype) for k, v in _load_npz().items()}
+    """Load the pre-trained 8,129 SRCNN parameters as a pytree.
+
+    ``dtype`` is the WEIGHT storage dtype (it drives the conv operand
+    dtype on the XLA path).  Biases always stay f32: every compute tier
+    -- the fused kernel's split/bf16x1 modes and the XLA path alike --
+    accumulates in f32 and adds biases in f32, so rounding bias storage
+    would only add error without changing any MXU operand.  This also
+    keeps each bf16 tier's output independent of whether the caller
+    loaded f32 or bf16 params (the weights reach the MXU bf16-rounded
+    either way)."""
+    return {k: jnp.asarray(v, jnp.float32 if k.startswith("b") else dtype)
+            for k, v in _load_npz().items()}
 
 
 def init_params(key: jax.Array, dtype=jnp.float32) -> dict[str, jnp.ndarray]:

@@ -88,8 +88,8 @@ def _tile_forward(params: dict, y: jnp.ndarray, row_axis: str, col_axis: str) ->
 
 
 def _tile_forward_pallas(params: dict, y: jnp.ndarray, row_axis: str,
-                         col_axis: str, tile_h: int,
-                         interpret: bool) -> jnp.ndarray:
+                         col_axis: str, tile_h: int, interpret: bool,
+                         precision=None) -> jnp.ndarray:
     """Per-device body (fused Pallas kernel): ONE 6 px Y-plane exchange,
     then the whole conv stack on-device.  The kernel's edge-flag mechanism
     applies the reference's conv2-output clamp only where this shard's
@@ -114,20 +114,28 @@ def _tile_forward_pallas(params: dict, y: jnp.ndarray, row_axis: str,
     # [25, 32] tap-major, taps ordered k = 5*dx + dy (fused_conv layout)
     w3 = params["w3"][:, :, :, 0].transpose(1, 0, 2).reshape(25, 32)
     b3 = params["b3"].reshape(1).astype(jnp.float32)
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
     return fused_conv._fused(
         ext, w1, b1, w2, b2, w3.astype(jnp.float32), b3, flags,
         th=tile_h, interpret=interpret, pad_mode="halo",
-        precision=jax.lax.Precision.HIGHEST)
+        precision=precision)
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _run(params, y, mesh: Mesh, use_pallas: bool, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _run(params, y, mesh: Mesh, use_pallas: bool, interpret: bool,
+         precision=None):
     spec = P("row", "col")
     if use_pallas:
-        tile_h = min(40, y.shape[0] // mesh.shape["row"])
+        from ..kernels import fused_conv
+
+        prec = (jax.lax.Precision.HIGHEST if precision is None
+                else precision)
+        tile_h = min(fused_conv.tile_h_for(prec),
+                     y.shape[0] // mesh.shape["row"])
         body = functools.partial(_tile_forward_pallas, row_axis="row",
                                  col_axis="col", tile_h=tile_h,
-                                 interpret=interpret)
+                                 interpret=interpret, precision=prec)
     else:
         body = functools.partial(_tile_forward, row_axis="row", col_axis="col")
     # check_vma off for the pallas body: pallas_call outputs carry no
@@ -138,14 +146,19 @@ def _run(params, y, mesh: Mesh, use_pallas: bool, interpret: bool):
 
 
 def forward_y_tiled(params: dict, y: jnp.ndarray, mesh: Mesh,
-                    use_pallas: bool | None = None) -> jnp.ndarray:
+                    use_pallas: bool | None = None,
+                    precision=None) -> jnp.ndarray:
     """SRCNN forward on one [H, W] Y plane spatially sharded over
     ``mesh`` axes ("row", "col").  H and W must divide by the respective
     axis sizes; tiles must be at least HALO1+HALO3 pixels.
 
     ``use_pallas=None`` auto-selects the fused per-device kernel on TPU.
-    Numerically identical to :func:`libsrcnn_tpu.models.srcnn.forward_y`
-    (same f32 ops, same replicate-pad semantics), just partitioned.
+    ``precision`` selects the kernel's compute tier (default HIGHEST =
+    exact; ``Precision.DEFAULT`` = split-bf16x2; ``fused_conv.BF16X1`` =
+    single-pass) -- Pallas body only; per tier the partitioned result is
+    bit-identical to the same tier's single-device
+    :func:`libsrcnn_tpu.kernels.fused_conv.forward_y` (the per-pixel
+    reduction order does not depend on the tile grid).
     """
     from ..pipeline import resolve_pallas
 
@@ -157,6 +170,11 @@ def forward_y_tiled(params: dict, y: jnp.ndarray, mesh: Mesh,
     if h // rows < HALO1 + HALO3 or w // cols < HALO1 + HALO3:
         raise ValueError(f"tile smaller than halo {HALO1 + HALO3}")
     use_pallas = resolve_pallas(use_pallas)
+    if (precision is not None and precision != jax.lax.Precision.HIGHEST
+            and not use_pallas):
+        raise ValueError(
+            "bf16 tiers on the halo path require the Pallas body "
+            "(the XLA body runs the exact HIGHEST convs only)")
     interpret = jax.default_backend() == "cpu"
     y = jax.device_put(y, NamedSharding(mesh, P("row", "col")))
-    return _run(params, y, mesh, use_pallas, interpret)
+    return _run(params, y, mesh, use_pallas, interpret, precision)

@@ -69,9 +69,10 @@ def _resize_axis_sharded(plane, left_l, w_l, halo: int, axis: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dst_h", "dst_w", "filter_type", "use_pallas", "interpret", "mesh"))
+    "dst_h", "dst_w", "filter_type", "use_pallas", "interpret", "mesh",
+    "precision"))
 def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
-               use_pallas, interpret, mesh: Mesh):
+               use_pallas, interpret, mesh: Mesh, precision=None):
     h, w, d = img.shape
     rows, cols = mesh.shape["row"], mesh.shape["col"]
     y_filter = FilterType(filter_type)
@@ -108,9 +109,14 @@ def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
                 for c in range(1, d)]
 
         if use_pallas:
+            from ..kernels import fused_conv
+
+            prec = (jax.lax.Precision.HIGHEST if precision is None
+                    else precision)
             y_sr = halo_mod._tile_forward_pallas(
                 params, y_r, "row", "col",
-                tile_h=min(40, y_r.shape[0]), interpret=interpret)
+                tile_h=min(fused_conv.tile_h_for(prec), y_r.shape[0]),
+                interpret=interpret, precision=prec)
         else:
             y_sr = halo_mod._tile_forward(params, y_r, "row", "col")
 
@@ -141,7 +147,11 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
     Constraints: H, W and the output H', W' must divide by the respective
     mesh axis sizes, and per-shard tiles must exceed the halo widths.
     Returns (out_u8 [H', W', D], conv_u8 [H', W']) with values identical to
-    the single-chip pipeline.
+    the single-chip pipeline AT THE SAME COMPUTE TIER: float32 (exact,
+    default), or -- Pallas body only -- the bfloat16 / bfloat16_fast
+    throughput tiers (the per-pixel reduction order does not depend on
+    the tile grid, so each tier stays bit-identical to its single-chip
+    twin).
 
     srcnn-family only: the staged halo plan is sized for the 9-1-5 stack
     (4+2 px).  The learned families go multi-chip through
@@ -165,11 +175,22 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
             "direct pass; silently skipping the chained-x2 u8 round trips "
             "would break bit-identity with api.upscale) -- chain "
             "upscale_tiled calls per x2 pass instead")
-    if cfg.compute_dtype != "float32":
+    use_pallas = resolve_pallas(cfg.use_pallas)
+    if cfg.compute_dtype == "float32":
+        precision = None  # HIGHEST
+    elif cfg.compute_dtype in ("bfloat16", "bfloat16_fast") and use_pallas:
+        from ..kernels import fused_conv
+
+        precision = (jax.lax.Precision.DEFAULT
+                     if cfg.compute_dtype == "bfloat16"
+                     else fused_conv.BF16X1)
+    else:
         raise ValueError(
-            "the tiled path runs the exact f32 kernel only "
-            f"(compute_dtype={cfg.compute_dtype!r} would silently run "
-            "HIGHEST); use single-chip or upscale_batch for other tiers")
+            "the tiled path's conv tiers are float32 (exact, XLA or "
+            "Pallas body) and bfloat16/bfloat16_fast (Pallas body only) "
+            f"-- got compute_dtype={cfg.compute_dtype!r} with "
+            f"use_pallas={cfg.use_pallas!r}; use single-chip or "
+            "upscale_batch for other tiers")
     h, w, d = image.shape
     rows, cols = mesh.shape["row"], mesh.shape["col"]
     dst_w, dst_h = scaled_size(w, h, multiply)
@@ -194,5 +215,6 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
     return _run_tiled(
         image, params, row_tabs, col_tabs,
         dst_h=dst_h, dst_w=dst_w, filter_type=int(cfg.filter),
-        use_pallas=resolve_pallas(cfg.use_pallas),
-        interpret=jax.default_backend() == "cpu", mesh=mesh)
+        use_pallas=use_pallas,
+        interpret=jax.default_backend() == "cpu", mesh=mesh,
+        precision=precision)

@@ -66,6 +66,34 @@ def test_random_step_scale(seed):
     assert out.shape == (sh, sw, 3)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_bf16_kernel_modes_geometry(seed):
+    """Random plane shapes through the fused kernel's bf16 modes (which
+    run at th=48, a different tile/halo geometry than the exact tier's
+    th=40) vs the XLA-exact output: shape-correct everywhere, deviation
+    inside each mode's documented envelope, and the tile grid must not
+    leak (junk columns / alignment rolls cancel at every width)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libsrcnn_tpu.models import srcnn
+    from libsrcnn_tpu.kernels import fused_conv
+
+    rng = np.random.default_rng(4000 + seed)
+    h = int(rng.integers(3, 140))
+    w = int(rng.integers(3, 300))
+    params = srcnn.load_params()
+    y = rng.uniform(0, 255, (h, w)).astype(np.float32)
+    ref = np.asarray(srcnn.forward_y(params, jnp.asarray(y)))
+    for prec, tol in ((jax.lax.Precision.DEFAULT, 4.0),
+                      (fused_conv.BF16X1, 8.0)):
+        got = np.asarray(fused_conv.forward_y(params, jnp.asarray(y),
+                                              precision=prec))
+        assert got.shape == ref.shape
+        d = np.abs(got - ref).max()
+        assert d <= tol, (seed, h, w, prec, d)
+
+
 @pytest.mark.parametrize("seed", range(8))
 def test_fuzz_packed_conv_matches_direct(seed):
     """Random (kernel, width, phases, pads) through ops.packed_conv vs

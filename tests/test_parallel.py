@@ -54,6 +54,32 @@ def test_halo_tiled_pallas_matches(params, y, axes):
     np.testing.assert_allclose(out, ref, atol=2e-3)
 
 
+@pytest.mark.parametrize("prec", ["split", "bf16x1"])
+def test_halo_tiled_bf16_tiers_bitexact_vs_single_device(params, y, prec):
+    """The throughput tiers partition exactly like the exact tier: the
+    sharded fused kernel must be bit-identical to the SAME tier's
+    single-device fused kernel (grid-invariant per-pixel reductions)."""
+    from libsrcnn_tpu.kernels import fused_conv
+
+    precision = (jax.lax.Precision.DEFAULT if prec == "split"
+                 else fused_conv.BF16X1)
+    ref = np.asarray(fused_conv.forward_y(params, jnp.asarray(y),
+                                          precision=precision))
+    mesh = make_mesh({"data": 1, "row": 2, "col": 4})
+    out = np.asarray(halo.forward_y_tiled(params, jnp.asarray(y), mesh,
+                                          use_pallas=True,
+                                          precision=precision))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_halo_bf16_tier_requires_pallas(params, y):
+    mesh = make_mesh({"data": 1, "row": 2, "col": 2}, jax.devices()[:4])
+    with pytest.raises(ValueError, match="Pallas"):
+        halo.forward_y_tiled(params, jnp.asarray(y), mesh,
+                             use_pallas=False,
+                             precision=jax.lax.Precision.DEFAULT)
+
+
 def test_halo_validates_divisibility(params, y):
     mesh = make_mesh({"data": 1, "row": 8, "col": 1})
     with pytest.raises(ValueError):

@@ -95,6 +95,33 @@ def test_tiled_rejects_step_scale_and_non_f32():
     params = srcnn.load_params()
     with pytest.raises(ValueError, match="step_scale"):
         upscale_tiled(img, params, 4.0, SRCNNConfig(step_scale=True), mesh)
-    with pytest.raises(ValueError, match="f32"):
+    # bf16 tiers need the Pallas body; the XLA body is exact-only
+    with pytest.raises(ValueError, match="tiers"):
         upscale_tiled(img, params, 2.0,
-                      SRCNNConfig(compute_dtype="bfloat16"), mesh)
+                      SRCNNConfig(compute_dtype="bfloat16",
+                                  use_pallas=False), mesh)
+    with pytest.raises(ValueError, match="tiers"):
+        upscale_tiled(img, params, 2.0,
+                      SRCNNConfig(compute_dtype="int8", use_pallas=True),
+                      mesh)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "bfloat16_fast"])
+def test_tiled_bf16_tiers_bitexact_vs_single_chip(params, img, dtype):
+    """The throughput tiers partition like the exact tier: the tiled
+    multi-device output must be bit-identical to the SAME tier's
+    single-chip pipeline (per-pixel reduction order is grid-invariant)."""
+    import jax
+
+    from libsrcnn_tpu import SRCNNConfig
+    from libsrcnn_tpu import pipeline
+    from libsrcnn_tpu.parallel import upscale_tiled
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    cfg = SRCNNConfig(compute_dtype=dtype, use_pallas=True)
+    single, sconv = pipeline.run_pass(jax.numpy.asarray(img), params,
+                                      2.0, cfg)
+    mesh = make_mesh({"data": 1, "row": 2, "col": 2}, jax.devices()[:4])
+    tout, tconv = upscale_tiled(img, params, 2.0, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(tout), np.asarray(single))
+    np.testing.assert_array_equal(np.asarray(tconv), np.asarray(sconv))
