@@ -72,6 +72,22 @@ def test_upscale_frames_lr_families(butterfly):
         np.testing.assert_array_equal(out[0], upscale(clip[0], 2.0, cfg))
 
 
+def test_upscale_frames_fast_tier_matches_single(butterfly):
+    """Batched serving carries the bfloat16_fast tier, matching the
+    single-image API at the same tier (bit-identical: same kernel mode,
+    same per-pixel reduction order); the ensemble combo also composes."""
+    from libsrcnn_tpu import SRCNNConfig
+
+    clip = np.stack([butterfly[:32, :32], butterfly[32:64, :32]])
+    cfg = SRCNNConfig(compute_dtype="bfloat16_fast", use_pallas=True)
+    out = upscale_frames(clip, 2.0, cfg)
+    np.testing.assert_array_equal(out[0], upscale(clip[0], 2.0, cfg))
+    ens = SRCNNConfig(compute_dtype="bfloat16_fast", use_pallas=True,
+                      self_ensemble=True)
+    oute = upscale_frames(clip, 2.0, ens)
+    np.testing.assert_array_equal(oute[0], upscale(clip[0], 2.0, ens))
+
+
 def test_video_stream(butterfly):
     frames = [butterfly[i:i + 24, :24] for i in range(0, 72, 24)]
     up = VideoUpscaler(scale=2.0)
