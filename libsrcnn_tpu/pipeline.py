@@ -166,7 +166,11 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
         # ONE MXU pass per GEMM (see kernels/fused_conv._dot).
         prec = {"float32": jax.lax.Precision.HIGHEST,
                 "bfloat16": jax.lax.Precision.DEFAULT,
-                "bfloat16_fast": fused_conv.BF16X1}[compute_dtype]
+                "bfloat16_fast": fused_conv.BF16X1}.get(compute_dtype)
+        if prec is None:
+            raise ValueError(
+                f"srcnn compute_dtype={compute_dtype!r} is not a tier: "
+                f"use 'float32', 'bfloat16', 'bfloat16_fast' or 'int8'")
         th = fused_conv.tile_h_for(prec)
         # The resize gather emits the kernel's fully padded plane (6 px
         # replicate halo + tile-alignment junk) directly, so the kernel

@@ -96,6 +96,12 @@ def test_bf16_fast_mode_both_paths(img):
         assert np.abs(exact.astype(int) - fast.astype(int)).max() <= 8
 
 
+def test_unknown_compute_dtype_rejected(img):
+    with pytest.raises(ValueError, match="tier"):
+        lt.upscale(img, 2.0, lt.SRCNNConfig(compute_dtype="int4",
+                                            use_pallas=True))
+
+
 def test_gray_promotion(img):
     out = lt.upscale(img[..., 0], 2.0)
     assert out.shape == (40, 48, 3)
