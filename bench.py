@@ -157,10 +157,14 @@ def main() -> None:
 
     # Quality gate, measured in this run (worst-case content: the frames
     # are uniform noise): headline = fastest tier with SSIM >= 0.99 vs
-    # the exact (golden-gated) tier.
+    # the exact (golden-gated) tier; if BOTH bf16 tiers ever regressed
+    # below the bar, the exact tier itself (SSIM 1 by construction)
+    # becomes the headline rather than publishing a failing tier.
     ssim = {n: metrics.ssim(outs[n], outs["exact"]) for n in ("fast", "split")}
-    head = "fast" if ssim["fast"] >= 0.99 else "split"
-    mode_desc = {"fast": "bf16x1 single-pass", "split": "split-bf16x2"}[head]
+    ssim["exact"] = 1.0
+    head = next(n for n in ("fast", "split", "exact") if ssim[n] >= 0.99)
+    mode_desc = {"fast": "bf16x1 single-pass", "split": "split-bf16x2",
+                 "exact": "exact f32 (bf16 tiers failed the 0.99 gate)"}[head]
     print(json.dumps({
         "metric": "mp_per_sec_x2_srcnn",
         "value": round(results[head], 2),

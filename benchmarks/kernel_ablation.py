@@ -43,9 +43,7 @@ def build_ablated(stage: str, th: int = fc.DEFAULT_TH, mode: str = "exact"):
     from jax.experimental.pallas import tpu as pltpu
 
     HALO, TW, CW, EW = fc.HALO, fc.TW, fc.CW, fc.EW
-    precision = {"exact": jax.lax.Precision.HIGHEST,
-                 "split": jax.lax.Precision.DEFAULT,
-                 "bf16x1": fc.BF16X1}[mode]
+    precision = fc.MODE_PRECISIONS[mode]
 
     def kern(w1r, b1r, w2r, b2r, w3r, b3r, fl, win, out, q_scr):
         j = pl.program_id(1)
@@ -114,11 +112,9 @@ def main(size=2048, mode="exact", th=None):
 
     from libsrcnn_tpu.models import srcnn
 
+    precision = fc.MODE_PRECISIONS[mode]
     if th is None:
-        th = fc.DEFAULT_TH
-    precision = {"exact": jax.lax.Precision.HIGHEST,
-                 "split": jax.lax.Precision.DEFAULT,
-                 "bf16x1": fc.BF16X1}[mode]
+        th = fc.tile_h_for(precision)
 
     p = srcnn.load_params()
     w1 = np.asarray(p["w1"]).reshape(81, 64).astype(np.float32)

@@ -35,14 +35,19 @@ def main() -> None:
     }
     tiers = ["bfloat16", "bfloat16_fast"]
 
+    # use_pallas=True explicitly: the tier ladder lives in the fused
+    # kernel's GEMM modes; on CPU the default would resolve to the XLA
+    # path, where both bf16 tiers are the same computation (the kernel
+    # runs in interpreter mode on CPU -- slow, but it measures the modes
+    # this tool exists to measure)
     for name, img in inputs.items():
         for scale in (2.0, 3.0):
-            exact_cfg = SRCNNConfig()
+            exact_cfg = SRCNNConfig(use_pallas=True)
             params = jax.device_put(srcnn.load_params())
             exact = np.asarray(
                 pipeline.run_pass(img, params, scale, exact_cfg)[0])
             for tier in tiers:
-                cfg = SRCNNConfig(compute_dtype=tier)
+                cfg = SRCNNConfig(compute_dtype=tier, use_pallas=True)
                 tp = jax.device_put(pipeline.load_model_params(cfg, scale))
                 try:
                     out = np.asarray(

@@ -41,11 +41,12 @@ def capture(size: int, mode: str, iters: int = 4,
     else:
         dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
         params = jax.device_put(srcnn.load_params(dtype=dtype))
-    prec = {"exact": jax.lax.Precision.HIGHEST,
-            "split": jax.lax.Precision.DEFAULT,
-            "bf16x1": fused_conv.BF16X1}.get(mode)
+    prec = fused_conv.MODE_PRECISIONS.get(mode)
     if th is None:
-        th = fused_conv.DEFAULT_TH
+        # the mode's PRODUCTION tile height, so traces measure what the
+        # pipeline actually runs
+        th = (fused_conv.INT8_TH if mode == "int8"
+              else fused_conv.tile_h_for(prec))
     need_h, need_w = fused_conv.padded_geometry(size, size, th=th)
     rng = np.random.default_rng(0)
     ys = [jax.device_put(rng.uniform(0, 255, (need_h, need_w))

@@ -23,14 +23,14 @@ from trace_kernel import report  # noqa: E402  (same xplane parsing)
 
 
 def capture(model: str, size: int, scale: float, dtype: str,
-            iters: int, lane_pack) -> tuple[str, float]:
+            iters: int, lane_pack, use_pallas: bool = False) -> tuple[str, float]:
     import jax
     import tempfile
 
     from libsrcnn_tpu import SRCNNConfig, pipeline
 
-    cfg = SRCNNConfig(model=model, compute_dtype=dtype, use_pallas=False,
-                      lane_pack=lane_pack)
+    cfg = SRCNNConfig(model=model, compute_dtype=dtype,
+                      use_pallas=use_pallas, lane_pack=lane_pack)
     params = pipeline.load_model_params(cfg, scale)
     rng = np.random.default_rng(0)
     imgs = [jax.device_put(rng.integers(0, 256, (size, size, 3), np.uint8))
@@ -54,8 +54,12 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=1024, help="input H=W")
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--dtype", default="bfloat16",
-                    choices=("float32", "bfloat16"))
+                    choices=("float32", "bfloat16", "bfloat16_fast"))
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--pallas", action="store_true",
+                    help="srcnn only: trace the FULL pipeline through the "
+                         "fused Pallas kernel (resize gather -> kernel -> "
+                         "merge) instead of the XLA conv stack")
     ap.add_argument("--lane-pack", default="auto",
                     choices=("auto", "0", "1"),
                     help="'0' traces the DIRECT conv stack (the PERF.md "
@@ -65,7 +69,8 @@ def main() -> None:
 
     lane_pack = {"auto": None, "0": False, "1": True}[args.lane_pack]
     trace_dir, out_mp = capture(args.model, args.size, args.scale,
-                                args.dtype, args.iters, lane_pack)
+                                args.dtype, args.iters, lane_pack,
+                                args.pallas)
     print(f"trace: {trace_dir}")
     report(trace_dir, args.iters, out_mp)
 

@@ -15,8 +15,10 @@ strategy changes (kernels/fused_conv._dot, measured story in PERF.md):
                  on this stack (PERF.md "int8 tier"); kept as the measured
                  answer to "wouldn't int8 be faster?".
 
-On CPU the kernel runs in interpreter mode (slow but numerically
-identical), so this example prints quality only; run it on a TPU host
+``use_pallas=True`` is set explicitly so the ladder is demonstrated on
+every backend: on CPU the kernel runs in interpreter mode (slow but
+numerically identical -- without the flag, CPU would take the XLA path
+where the two bf16 tiers are the same computation).  Run on a TPU host
 for the speed column to mean something.
 """
 
@@ -40,11 +42,11 @@ img = np.stack([
     (127 + 70 * np.sin(x * y / 700.0)),
 ], -1).clip(0, 255).astype(np.uint8)
 
-exact = upscale(img, 2.0)  # float32 tier, the default
+exact = upscale(img, 2.0, SRCNNConfig(use_pallas=True))
 print(f"{'tier':15s} {'ms':>8s} {'max u8':>7s} {'PSNR':>7s} {'SSIM':>8s}"
       f"   (vs the exact tier)")
 for tier in ("float32", "bfloat16", "bfloat16_fast", "int8"):
-    cfg = SRCNNConfig(compute_dtype=tier)
+    cfg = SRCNNConfig(compute_dtype=tier, use_pallas=True)
     out = upscale(img, 2.0, cfg)  # warm / compile
     t0 = time.perf_counter()
     out = upscale(img, 2.0, cfg)

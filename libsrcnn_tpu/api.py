@@ -185,11 +185,12 @@ def debug_intermediates(
     conv2_0..31, conv3."""
     img = _as_u8_image(image)
     if params is None:
-        # the dumper mirrors the reference's f32 DEBUG path; the int8
-        # tier's intermediates are its f32 dequants, so dump those weights
-        dtype = ("float32" if config.compute_dtype == "int8"
-                 else pipeline.param_dtype(config.compute_dtype))
-        params = srcnn.load_params(dtype=dtype)
+        # the dumper mirrors the reference's f32 DEBUG path for EVERY
+        # tier: the int8 tier's intermediates are its f32 dequants, and
+        # the bf16 tiers' planes differ from f32 only by GEMM rounding
+        # (run_intermediates' XLA convs also require f32 weights --
+        # mixed-dtype conv operands are a TypeError)
+        params = srcnn.load_params(dtype="float32")
     planes = pipeline.run_intermediates(img, params, float(scale), config)
     return {k: np.asarray(v) for k, v in planes.items()}
 

@@ -85,6 +85,14 @@ def padded_geometry(h: int, w: int, th: int = DEFAULT_TH) -> tuple[int, int]:
 #: sentinel precision for the single-pass bf16 mode (see :func:`_dot`)
 BF16X1 = "bf16x1"
 
+#: benchmark-tool mode names -> kernel precision (the SRCNNConfig
+#: compute_dtype -> precision mapping lives in pipeline._single_pass)
+MODE_PRECISIONS = {
+    "exact": jax.lax.Precision.HIGHEST,
+    "split": jax.lax.Precision.DEFAULT,
+    "bf16x1": BF16X1,
+}
+
 
 def _dot(x, w, dims, precision):
     """GEMM with the mode's precision strategy.
@@ -132,8 +140,6 @@ def _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw):
     Elementwise, so it applies equally to f32 conv2 outputs and to the
     int8 kernel's int32 accumulators (its folded epilogue is elementwise
     per channel)."""
-    import jax
-
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
     col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
     c2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),

@@ -38,6 +38,22 @@ def _lr_family(name: str):
     return importlib.import_module(f".models.{name}", __package__)
 
 
+#: valid srcnn compute tiers (the learned families take float32/bfloat16,
+#: validated by family_precision)
+SRCNN_TIERS = ("float32", "bfloat16", "bfloat16_fast", "int8")
+
+
+def validate_compute_dtype(cfg: "SRCNNConfig") -> None:
+    """Reject unknown srcnn tiers up front -- BEFORE weights load or any
+    compute branch runs (an arbitrary dtype string would otherwise
+    quietly load rounded weights and run a nonstandard tier on the XLA
+    path, or die in a raw KeyError on the Pallas path)."""
+    if cfg.model == "srcnn" and cfg.compute_dtype not in SRCNN_TIERS:
+        raise ValueError(
+            f"srcnn compute_dtype={cfg.compute_dtype!r} is not a tier: "
+            f"use one of {SRCNN_TIERS}")
+
+
 def param_dtype(compute_dtype: str) -> str:
     """Storage dtype for srcnn params.  ``bfloat16_fast`` is a GEMM-pass
     policy, not a storage dtype: it shares bf16 weight storage with the
@@ -67,6 +83,7 @@ def load_model_params(cfg: "SRCNNConfig", scale: float = 2.0) -> dict:
     raises for the LR families (pinned by
     tests/test_zoo_scales.py::test_step_scale_family_contract -- use
     vdsr for arbitrary factors)."""
+    validate_compute_dtype(cfg)
     if cfg.model != "srcnn":
         family_precision(cfg.compute_dtype)  # reject int8 etc. up front
     if cfg.model in LR_FAMILIES:
@@ -88,6 +105,7 @@ def prepare_model_params(cfg: "SRCNNConfig", params: dict, h: int, w: int,
                          dst_h: int, dst_w: int, multiply):
     """Validate cfg.model against the geometry and split off the LR-family
     spec: returns (params-without-spec, spec-or-None)."""
+    validate_compute_dtype(cfg)
     if cfg.model in LR_FAMILIES:
         mod = _lr_family(cfg.model)
         spec = params.get("__spec__") or mod.default_spec()

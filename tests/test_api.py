@@ -97,9 +97,26 @@ def test_bf16_fast_mode_both_paths(img):
 
 
 def test_unknown_compute_dtype_rejected(img):
-    with pytest.raises(ValueError, match="tier"):
-        lt.upscale(img, 2.0, lt.SRCNNConfig(compute_dtype="int4",
-                                            use_pallas=True))
+    # both compute branches, and BEFORE any weights load: an arbitrary
+    # dtype string must not quietly run a nonstandard tier
+    for dt in ("int4", "float16", "float64"):
+        for pall in (True, False):
+            with pytest.raises(ValueError, match="tier"):
+                lt.upscale(img, 2.0, lt.SRCNNConfig(compute_dtype=dt,
+                                                    use_pallas=pall))
+
+
+def test_debug_intermediates_all_tiers(img):
+    """The dumper mirrors the reference's f32 DEBUG path for every tier
+    (regression: bf16 param storage used to crash the XLA convs with a
+    mixed-dtype TypeError)."""
+    from libsrcnn_tpu.api import debug_intermediates
+
+    for dt in ("float32", "bfloat16", "bfloat16_fast", "int8"):
+        planes = debug_intermediates(
+            img, 2.0, lt.SRCNNConfig(compute_dtype=dt))
+        assert planes["conv3"].shape == (40, 48)
+        assert len([k for k in planes if k.startswith("conv1_")]) == 64
 
 
 def test_gray_promotion(img):
