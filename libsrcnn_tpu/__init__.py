@@ -26,6 +26,7 @@ if not _os.environ.get("LIBSRCNN_TPU_NO_CACHE"):
 
 from .config import DEFAULT_CONFIG, FilterType, SRCNNConfig
 from .api import configure_filter_srcnn, process_srcnn, upscale
+from .chunked import upscale_chunked
 
 #: mirrors the reference's version constant era (`libsrcnn.h:34-35`) --
 #: behavior parity target is libsrcnn 0.1.10.40.
@@ -40,5 +41,6 @@ __all__ = [
     "configure_filter_srcnn",
     "process_srcnn",
     "upscale",
+    "upscale_chunked",
     "__version__",
 ]

@@ -1,0 +1,88 @@
+"""Out-of-core chunked pipeline: bit-identity to the single-pass API
+per compute tier, across band sizes / filters / scales / bodies."""
+
+import numpy as np
+import pytest
+
+from libsrcnn_tpu import FilterType, SRCNNConfig, upscale, upscale_chunked
+from libsrcnn_tpu import chunked
+
+
+@pytest.fixture(scope="module")
+def img():
+    return np.random.default_rng(44).integers(0, 256, (45, 38, 3), np.uint8)
+
+
+@pytest.mark.parametrize("pall", [False, True])
+@pytest.mark.parametrize("scale,ft,band", [
+    (2.0, FilterType.BICUBIC, 16),
+    (3.0, FilterType.LANCZOS3, 7),
+    (1.5, FilterType.NEAREST, 45),   # one band covering everything
+    (0.5, FilterType.BICUBIC, 5),    # downscale: horizontal-first ordering
+    (2.3, FilterType.BSPLINE, 64),   # fractional scale, ragged last band
+])
+def test_chunked_bitexact(img, pall, scale, ft, band):
+    cfg = SRCNNConfig(filter=ft, use_pallas=pall)
+    ref, refc = upscale(img, scale, cfg, return_conv_map=True)
+    out, conv = upscale_chunked(img, scale, cfg, band_rows=band)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(conv, refc)
+
+
+def test_chunked_rgba_and_tiny_bands(img):
+    img4 = np.random.default_rng(45).integers(0, 256, (33, 29, 4), np.uint8)
+    ref = upscale(img4, 2.0)
+    out, _ = upscale_chunked(img4, 2.0, band_rows=1)  # one-row bands
+    np.testing.assert_array_equal(out, ref)
+
+
+@pytest.mark.parametrize("band", [1, 5, 13])
+def test_chunked_ring_never_crosses_unflagged_edges(img, band):
+    """Regression: a band cut at row 1 or dst_h-1 puts the conv2-output
+    ring past the true image edge with the edge flag off (66 % 5 == 1
+    used to produce a 1-row tail band ending exactly there)."""
+    img4 = np.random.default_rng(46).integers(0, 256, (33, 29, 4), np.uint8)
+    ref, refc = upscale(img4, 2.0, return_conv_map=True)   # dst_h = 66
+    out, conv = upscale_chunked(img4, 2.0, band_rows=band)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(conv, refc)
+
+
+@pytest.mark.parametrize("dtype", ["bfloat16", "bfloat16_fast"])
+def test_chunked_bf16_tiers_bitexact(img, dtype):
+    """The throughput tiers band exactly like the exact tier (reduction
+    order is band-invariant)."""
+    cfg = SRCNNConfig(compute_dtype=dtype, use_pallas=True)
+    ref, refc = upscale(img, 2.0, cfg, return_conv_map=True)
+    out, conv = upscale_chunked(img, 2.0, cfg, band_rows=13)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(conv, refc)
+
+
+def test_chunked_shares_one_program_across_interior_bands(img):
+    """Interior bands must share ONE compiled program (vertical tables are
+    runtime arguments): a gigapixel stream cannot afford per-band
+    compiles."""
+    chunked._compiled_band.cache_clear()
+    out, _ = upscale_chunked(img, 4.0, SRCNNConfig(use_pallas=False),
+                             band_rows=32)  # 180 rows -> 5 full + 1 ragged
+    assert out.shape == (180, 152, 3)
+    info = chunked._compiled_band.cache_info()
+    assert info.currsize == 2, info  # interior shape + ragged last shape
+
+
+def test_chunked_validates():
+    img = np.zeros((16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="model"):
+        upscale_chunked(img, 2.0, SRCNNConfig(model="vdsr"))
+    with pytest.raises(ValueError, match="step_scale"):
+        upscale_chunked(img, 4.0, SRCNNConfig(step_scale=True))
+    with pytest.raises(ValueError, match="ensemble"):
+        upscale_chunked(img, 2.0, SRCNNConfig(self_ensemble=True))
+    with pytest.raises(ValueError, match="tiers"):
+        upscale_chunked(img, 2.0, SRCNNConfig(compute_dtype="bfloat16",
+                                              use_pallas=False))
+    with pytest.raises(ValueError, match="band_rows"):
+        upscale_chunked(img, 2.0, band_rows=0)
+    with pytest.raises(ValueError, match="scale"):
+        upscale_chunked(img, 0.01)
