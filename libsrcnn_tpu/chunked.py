@@ -151,13 +151,21 @@ def _compiled_band(d: int, s_rows: int, src_w: int, bh: int, dst_w: int,
 
 
 def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
-                    *, band_rows: int = 512, params: dict | None = None):
+                    *, band_rows: int = 512, params: dict | None = None,
+                    inflight_bands: int = 2):
     """Full upscale of one [H, W, D] u8 frame streamed through the device
     in horizontal output bands of ``band_rows`` rows.
 
     Returns host numpy ``(out_u8 [H', W', D], conv_u8 [H', W'])``,
     bit-identical to :func:`libsrcnn_tpu.api.upscale` at the same compute
-    tier; peak device memory is O(band_rows x W'), independent of H.
+    tier; peak device memory is O(inflight_bands x band_rows x W'),
+    independent of H.
+
+    ``inflight_bands`` bounds the dispatch window: JAX dispatch is async,
+    so keeping a few bands in flight overlaps band k's device compute
+    with band k-1's device->host fetch and band k+1's host-side slice
+    (the fetch is the only blocking call in the loop).  1 = fully
+    serial; the default 2 double-buffers.
 
     srcnn-family only (the halo plan is the 9-1-5 stack's); no
     step_scale (chain calls per x2 pass, as with the tiled path) and no
@@ -202,6 +210,8 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
         raise ValueError(f"bad scale {multiply} for {w}x{h}")
     if band_rows < 1:
         raise ValueError("band_rows must be >= 1")
+    if inflight_bands < 1:
+        raise ValueError("inflight_bands must be >= 1")
 
     if params is None:
         params = _pipeline.load_model_params(cfg, multiply)
@@ -238,6 +248,13 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
 
     interpret = jax.default_backend() == "cpu"
     outs, convs = [], []
+    inflight: list = []   # bounded dispatch window (device arrays)
+
+    def _drain_one():
+        out_b, conv_b = inflight.pop(0)
+        outs.append(np.asarray(out_b))
+        convs.append(np.asarray(conv_b))
+
     for r0, r1, rows_y, rows_c, smin, smax in bands:
         bh = r1 - r0
         src = image[smin:smax]
@@ -251,8 +268,10 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
         flags = jnp.asarray([r0 == 0, r1 == dst_h, True, True], jnp.int32)
         fn = _compiled_band(d, s_rows, w, bh, dst_w, int(cfg.filter),
                             use_pallas, precision, interpret)
-        out_b, conv_b = fn(jnp.asarray(src), params, vy_idx, vy_w,
-                           vc_idx, vc_w, flags)
-        outs.append(np.asarray(out_b))
-        convs.append(np.asarray(conv_b))
+        inflight.append(fn(jnp.asarray(src), params, vy_idx, vy_w,
+                           vc_idx, vc_w, flags))
+        if len(inflight) > inflight_bands:
+            _drain_one()
+    while inflight:
+        _drain_one()
     return np.concatenate(outs, axis=0), np.concatenate(convs, axis=0)

@@ -71,6 +71,17 @@ def test_chunked_shares_one_program_across_interior_bands(img):
     assert info.currsize == 2, info  # interior shape + ragged last shape
 
 
+@pytest.mark.parametrize("depth", [1, 4])
+def test_chunked_inflight_window_invariant(img, depth):
+    """The async dispatch window is a perf knob only — outputs and
+    ordering are invariant across depths."""
+    ref, refc = upscale(img, 2.0, return_conv_map=True)
+    out, conv = upscale_chunked(img, 2.0, band_rows=11,
+                                inflight_bands=depth)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(conv, refc)
+
+
 def test_chunked_validates():
     img = np.zeros((16, 16, 3), np.uint8)
     with pytest.raises(ValueError, match="model"):
@@ -84,5 +95,7 @@ def test_chunked_validates():
                                               use_pallas=False))
     with pytest.raises(ValueError, match="band_rows"):
         upscale_chunked(img, 2.0, band_rows=0)
+    with pytest.raises(ValueError, match="inflight_bands"):
+        upscale_chunked(img, 2.0, inflight_bands=0)
     with pytest.raises(ValueError, match="scale"):
         upscale_chunked(img, 0.01)

@@ -9,8 +9,9 @@ formulation (the TPU default, ops/packed_conv.py) against its direct
 conv stack -- same MACs, different reduction order, so the u8 outputs
 must agree within 1 LSB.
 
-Usage: python tools/tpu_validate.py [N]   # first N configs (default all)
-       python tools/tpu_validate.py --zoo # only the zoo cross-check
+Usage: python tools/tpu_validate.py [N]       # first N configs (default all)
+       python tools/tpu_validate.py --zoo     # only the zoo cross-check
+       python tools/tpu_validate.py --chunked # only the out-of-core check
 """
 
 import os
@@ -51,6 +52,28 @@ def validate_zoo() -> int:
     return fails
 
 
+def validate_chunked() -> int:
+    """Out-of-core band streaming on-chip: bit-identical to the one-shot
+    pipeline at the same tier.  This is also the only single-chip
+    exercise of the fused kernel's pad_mode="halo" body on real hardware
+    (the mesh paths that share it need >1 device)."""
+    from libsrcnn_tpu import upscale_chunked
+
+    fails = 0
+    img = np.load("tests/goldens/goldens.npz")["in_butterfly64"]
+    for dtype in ("float32", "bfloat16", "bfloat16_fast"):
+        cfg = SRCNNConfig(compute_dtype=dtype, use_pallas=True)
+        ref, refc = upscale(img, 2.0, cfg, return_conv_map=True)
+        out, conv = upscale_chunked(img, 2.0, cfg, band_rows=48)
+        d = int(np.abs(out.astype(int) - np.asarray(ref, int)).max())
+        dc = int(np.abs(conv.astype(int) - np.asarray(refc, int)).max())
+        ok = d == 0 and dc == 0
+        fails += 0 if ok else 1
+        print(f"{'OK ' if ok else 'BAD'} chunked {dtype:13s} "
+              f"vs one-shot maxdiff {d} conv {dc}", flush=True)
+    return fails
+
+
 def main() -> int:
     import bench
     bench._relay_preflight()  # dead tunnel -> exit 3, not a silent hang
@@ -58,6 +81,10 @@ def main() -> int:
     if "--zoo" in sys.argv:
         fails = validate_zoo()
         print(f"zoo cross-check failures: {fails}")
+        return 1 if fails else 0
+    if "--chunked" in sys.argv:
+        fails = validate_chunked()
+        print(f"chunked cross-check failures: {fails}")
         return 1 if fails else 0
 
     limit = int(sys.argv[1]) if len(sys.argv) > 1 else 10**9
@@ -79,6 +106,7 @@ def main() -> int:
         print(f"{'OK ' if ok else 'BAD'} {key:32s} maxdiff {d} conv {dc} "
               f"ssim {s:.6f} psnr {psnr(out, gout):5.1f}", flush=True)
     fails += validate_zoo()
+    fails += validate_chunked()
     print(f"\n{len(cases)} configs, worst u8 diff {worst}, failures {fails}")
     return 1 if fails else 0
 
