@@ -12,17 +12,38 @@ only at band height, so peak device memory is O(band) instead of O(image).
 Exactness is the design constraint (same bar as the tiled path): each
 band is computed from the GLOBAL contribution tables sliced to its rows
 (boundary renormalization semantics stay exactly the reference's,
-`frawscale.cpp:52-108`), the conv stack reads a 6-px band halo of REAL
+`frawscale.cpp:52-108`), the conv stack reads a band halo of REAL
 neighbor rows (replicated rows only at true image edges, via the same
 table-row replication trick as ops.resize.resize_plane_padded), and the
-reference's conv2-output border clamp (`libsrcnn.cpp:463-489`) is gated
-by per-band edge flags -- the same mechanism as parallel/halo.py, driven
-sequentially instead of by ppermute.  Result: bit-identical to
-:func:`libsrcnn_tpu.api.upscale` at the same compute tier.
+model's edge semantics are gated by per-band edge flags.  Result:
+bit-identical to :func:`libsrcnn_tpu.api.upscale` at the same compute
+tier.
+
+Two model families, two halo plans -- both DERIVED, not assumed:
+
+* **srcnn** (9-1-5): 6-px halo (4 conv1 + 2 conv3) and the reference's
+  conv2-OUTPUT border replication quirk (`libsrcnn.cpp:463-489`), gated
+  by edge flags -- the same mechanism as parallel/halo.py, driven
+  sequentially instead of by ppermute.
+* **HR families** (vdsr, per-layer replicate-padded stacks): halo =
+  number of SAME convs (``<family>.halo_width(spec)``); at true image
+  edges the per-layer replicate padding is re-imposed before every conv
+  (``forward_hr_halo``), interior band borders keep real neighbor rows.
+  Direct (non-lane-packed) convs: the packed formulation's reduction
+  order is plane-shape-dependent, so only the direct stack can be
+  bit-identical between a band and the full frame.
 
 One program compiles per band SHAPE (interior bands share one; a ragged
 last band adds one more): the vertical band tables are passed as device
 arguments, not baked into the trace.
+
+``self_ensemble=True`` composes the flip self-ensemble BAND-WISE: for
+each output band, the four flip variants' corresponding bands are
+dispatched (the flipped image's band ranges are the mirrored plan --
+the cut rules are mirror-symmetric), unflipped, and averaged exactly as
+the api-level ensemble does (f32 mean of the four u8 outputs,
+round-half-even) -- so peak memory stays O(band) while matching
+:func:`libsrcnn_tpu.api.upscale` with ``self_ensemble=True`` bitwise.
 """
 
 from __future__ import annotations
@@ -37,7 +58,7 @@ from .config import FilterType, SRCNNConfig, DEFAULT_CONFIG, chroma_filter
 from .ops import color, resize
 from .ops.weights_table import contribution_table
 
-#: conv stack halo: 4 (conv1 9x9) + 2 (conv3 5x5) -- parallel/halo.py
+#: srcnn conv stack halo: 4 (conv1 9x9) + 2 (conv3 5x5) -- parallel/halo.py
 CONV_HALO = 6
 
 
@@ -71,8 +92,8 @@ def _apply_band_axis0(plane, idx, w):
 
 
 def _xla_halo_forward(params, ext, flags, bh: int, dst_w: int):
-    """Exact-tier conv stack on a pre-haloed band ([bh+12, dst_w+12] ->
-    [bh, dst_w]): XLA twin of the fused kernel's pad_mode="halo" body.
+    """Exact-tier srcnn conv stack on a pre-haloed band ([bh+12, dst_w+12]
+    -> [bh, dst_w]): XLA twin of the fused kernel's pad_mode="halo" body.
     The conv2-output ring is replaced by the edge value only where the
     band border is a TRUE image edge (flags [top, bottom]; columns are
     always true edges here -- bands span the full width)."""
@@ -92,10 +113,11 @@ def _xla_halo_forward(params, ext, flags, bh: int, dst_w: int):
     return jnp.clip(h3[0, :, :, 0], 0.0, 255.0)
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=64)
 def _compiled_band(d: int, s_rows: int, src_w: int, bh: int, dst_w: int,
                    filter_type: int, use_pallas: bool, precision,
-                   interpret: bool):
+                   interpret: bool, model: str = "srcnn", spec=None,
+                   halo: int = CONV_HALO):
     """One jitted band program; interior bands of equal height share it."""
     y_filter = FilterType(filter_type)
     c_filter = chroma_filter(y_filter)
@@ -104,16 +126,28 @@ def _compiled_band(d: int, s_rows: int, src_w: int, bh: int, dst_w: int,
     def body(band_u8, params, vy_idx, vy_w, vc_idx, vc_w, flags):
         planes = color.rgb_to_ycbcr(band_u8)      # [D, s_rows, src_w]
 
-        # Y: vertical band (+CONV_HALO rows) and horizontal with the
-        # kernel's 6-px column padding, in the reference's pass order
-        if up_width:
-            yb = _apply_band_axis0(planes[0], vy_idx, vy_w)
-            yb = resize._resize_axis_padded(yb, dst_w, y_filter, 1,
-                                            CONV_HALO, dst_w + 2 * CONV_HALO)
+        if model == "srcnn":
+            # Y: vertical band (+halo rows) and horizontal with the
+            # kernel's column padding, in the reference's pass order
+            if up_width:
+                yb = _apply_band_axis0(planes[0], vy_idx, vy_w)
+                yb = resize._resize_axis_padded(yb, dst_w, y_filter, 1,
+                                                halo, dst_w + 2 * halo)
+            else:
+                yh = resize._resize_axis_padded(planes[0], dst_w, y_filter,
+                                                1, halo, dst_w + 2 * halo)
+                yb = _apply_band_axis0(yh, vy_idx, vy_w)
         else:
-            yh = resize._resize_axis_padded(planes[0], dst_w, y_filter, 1,
-                                            CONV_HALO, dst_w + 2 * CONV_HALO)
-            yb = _apply_band_axis0(yh, vy_idx, vy_w)
+            # HR family: resize the band, then replicate the column halo
+            # (bands span the full width, so columns are true edges --
+            # per-layer padding is re-imposed by forward_hr_halo)
+            if up_width:
+                yb = _apply_band_axis0(planes[0], vy_idx, vy_w)
+                yb = resize._resize_axis(yb, dst_w, y_filter, 1)
+            else:
+                yh = resize._resize_axis(planes[0], dst_w, y_filter, 1)
+                yb = _apply_band_axis0(yh, vy_idx, vy_w)
+            yb = jnp.pad(yb, ((0, 0), (halo, halo)), mode="edge")
 
         rest = []
         for c in range(1, d):
@@ -125,7 +159,13 @@ def _compiled_band(d: int, s_rows: int, src_w: int, bh: int, dst_w: int,
                 pb = _apply_band_axis0(ph, vc_idx, vc_w)
             rest.append(pb)
 
-        if use_pallas:
+        if model != "srcnn":
+            from . import pipeline as _pipeline
+
+            mod = _pipeline._lr_family(model)
+            y_sr = mod.forward_hr_halo(params, yb, flags, spec, halo=halo,
+                                       precision=precision)
+        elif use_pallas:
             from .kernels import fused_conv
 
             w1 = params["w1"].reshape(81, 64).astype(jnp.float32)
@@ -150,6 +190,100 @@ def _compiled_band(d: int, s_rows: int, src_w: int, bh: int, dst_w: int,
     return jax.jit(body)
 
 
+def _cut_ok(r: int, dst_h: int, halo: int, model: str) -> bool:
+    """May a band boundary sit at output row ``r``?
+
+    srcnn: no cut at row 1 or dst_h-1 -- the conv2-output ring is +-2
+    rows, so a band starting at row 1 (or ending at dst_h-1) has a ring
+    row beyond the TRUE image edge while its edge flag is off, and a
+    replicated-input ring is not the reference's replicated-conv2-output
+    ring (`libsrcnn.cpp:463-489`).
+
+    HR families: every cut must be >= halo away from the true edges --
+    a band whose halo rows cross the image edge WITHOUT its edge flag
+    set would fill them with replicated input, which is not the model's
+    per-layer replicate padding.  (Both rules are mirror-symmetric in
+    r <-> dst_h - r, which the band-wise flip ensemble relies on.)
+    """
+    if model == "srcnn":
+        return r != 1 and r != dst_h - 1
+    return halo <= r <= dst_h - halo
+
+
+def _bands_from_edges(edges, halo: int, dst_h: int, gy_idx, gc_idx):
+    bands = []
+    for r0, r1 in zip(edges[:-1], edges[1:]):
+        rows_y = np.clip(np.arange(r0 - halo, r1 + halo), 0, dst_h - 1)
+        rows_c = np.arange(r0, r1)
+        iy = gy_idx[rows_y]
+        ic = gc_idx[rows_c]
+        smin = int(min(iy.min(), ic.min()))
+        smax = int(max(iy.max(), ic.max())) + 1
+        bands.append((r0, r1, rows_y, rows_c, smin, smax))
+    return bands
+
+
+def _plan_bands(dst_h: int, band_rows: int, halo: int, model: str,
+                gy_idx, gc_idx):
+    """Band plan: per band, the Y rows (+halo) and chroma rows pull from
+    a source-row window; all interior bands share one padded window
+    height.  Cuts violating the model's edge rule (see :func:`_cut_ok`)
+    are dropped, merging the offending band into its neighbor."""
+    cuts = [r for r in range(band_rows, dst_h, band_rows)
+            if _cut_ok(r, dst_h, halo, model)]
+    return cuts, _bands_from_edges([0] + cuts + [dst_h], halo, dst_h,
+                                   gy_idx, gc_idx)
+
+
+def _resolve_chunked(cfg: SRCNNConfig, multiply: float,
+                     params: dict | None):
+    """Shared validation/resolution for the chunked paths: returns
+    (params-on-device, spec, halo, use_pallas, precision)."""
+    from . import pipeline as _pipeline
+
+    if cfg.step_scale:
+        raise ValueError("step_scale is not supported by the chunked path "
+                         "(one direct pass; chain calls per x2 pass)")
+    if params is None:
+        params = _pipeline.load_model_params(cfg, multiply)
+
+    if cfg.model == "srcnn":
+        _pipeline.validate_compute_dtype(cfg)
+        use_pallas = _pipeline.resolve_pallas(cfg.use_pallas)
+        if cfg.compute_dtype == "float32":
+            precision = jax.lax.Precision.HIGHEST
+        elif cfg.compute_dtype in ("bfloat16", "bfloat16_fast") and use_pallas:
+            from .kernels import fused_conv
+
+            precision = (jax.lax.Precision.DEFAULT
+                         if cfg.compute_dtype == "bfloat16"
+                         else fused_conv.BF16X1)
+        else:
+            raise ValueError(
+                f"the chunked path's srcnn conv tiers are float32 (XLA or "
+                f"Pallas body) and bfloat16/bfloat16_fast (Pallas body "
+                f"only) -- got compute_dtype={cfg.compute_dtype!r} with "
+                f"use_pallas={cfg.use_pallas!r}")
+        spec, halo = None, CONV_HALO
+    elif cfg.model in _pipeline.HR_FAMILIES:
+        # XLA direct convs at the family tier (float32 exact / bfloat16)
+        precision = _pipeline.family_precision(cfg.compute_dtype)
+        use_pallas = False
+        mod = _pipeline._lr_family(cfg.model)
+        spec = params.get("__spec__") or mod.default_spec()
+        halo = mod.halo_width(spec)
+    else:
+        raise ValueError(
+            f"upscale_chunked streams the HR-domain models (srcnn and "
+            f"{_pipeline.HR_FAMILIES}); model={cfg.model!r} runs at low "
+            f"resolution and is served by sharding.upscale_batch / "
+            f"api.upscale")
+
+    params = jax.device_put(
+        {k: v for k, v in params.items() if k != "__spec__"})
+    return params, spec, halo, use_pallas, precision
+
+
 def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
                     *, band_rows: int = 512, params: dict | None = None,
                     inflight_bands: int = 2):
@@ -167,40 +301,15 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
     (the fetch is the only blocking call in the loop).  1 = fully
     serial; the default 2 double-buffers.
 
-    srcnn-family only (the halo plan is the 9-1-5 stack's); no
-    step_scale (chain calls per x2 pass, as with the tiled path) and no
-    self_ensemble (ensemble per frame via api.upscale).  Compute tiers:
-    float32 everywhere; bfloat16/bfloat16_fast on the Pallas body.
+    Models: srcnn (fused Pallas / XLA, all four tiers) and the HR
+    families (vdsr -- direct XLA convs, float32/bfloat16 tiers, halo
+    derived from the spec; bit-identity is vs the api with
+    ``lane_pack=False``).  The LR families (fsrcnn/espcn) run at low
+    resolution and go through api.upscale / upscale_batch.  No
+    step_scale (chain calls per x2 pass, as with the tiled path);
+    ``self_ensemble=True`` runs the band-wise flip ensemble (4x compute,
+    still O(band) memory, bitwise equal to the api-level ensemble).
     """
-    from . import pipeline as _pipeline
-
-    if cfg.model != "srcnn":
-        raise ValueError(f"upscale_chunked implements the srcnn 9-1-5 "
-                         f"halo plan; model={cfg.model!r} is served by "
-                         f"sharding.upscale_batch / api.upscale")
-    if cfg.step_scale:
-        raise ValueError("step_scale is not supported by the chunked path "
-                         "(one direct pass; chain calls per x2 pass)")
-    if cfg.self_ensemble:
-        raise ValueError("self_ensemble is not implemented for the chunked "
-                         "path; ensemble per frame via api.upscale")
-    _pipeline.validate_compute_dtype(cfg)
-    use_pallas = _pipeline.resolve_pallas(cfg.use_pallas)
-    if cfg.compute_dtype == "float32":
-        precision = jax.lax.Precision.HIGHEST
-    elif cfg.compute_dtype in ("bfloat16", "bfloat16_fast") and use_pallas:
-        from .kernels import fused_conv
-
-        precision = (jax.lax.Precision.DEFAULT
-                     if cfg.compute_dtype == "bfloat16"
-                     else fused_conv.BF16X1)
-    else:
-        raise ValueError(
-            f"the chunked path's conv tiers are float32 (XLA or Pallas "
-            f"body) and bfloat16/bfloat16_fast (Pallas body only) -- got "
-            f"compute_dtype={cfg.compute_dtype!r} with "
-            f"use_pallas={cfg.use_pallas!r}")
-
     image = np.asarray(image)
     if image.ndim != 3 or image.shape[-1] not in (3, 4):
         raise ValueError(f"expected [H, W, 3|4] u8 image, got {image.shape}")
@@ -213,40 +322,33 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
     if inflight_bands < 1:
         raise ValueError("inflight_bands must be >= 1")
 
-    if params is None:
-        params = _pipeline.load_model_params(cfg, multiply)
-    params = jax.device_put(
-        {k: v for k, v in params.items() if k != "__spec__"})
+    params, spec, halo, use_pallas, precision = _resolve_chunked(
+        cfg, multiply, params)
 
     y_filter = FilterType(cfg.filter)
     c_filter = chroma_filter(y_filter)
     gy_idx, gy_w = _global_band_tables(y_filter, dst_h, h)
     gc_idx, gc_w = _global_band_tables(c_filter, dst_h, h)
-
-    # band plan: per band, the Y rows (+halo) and chroma rows pull from a
-    # source-row window; all interior bands share one padded window height.
-    # No band cut may sit at row 1 or dst_h-1: the conv2-output ring is
-    # +-2 rows, so a band starting at row 1 (or ending at dst_h-1) has a
-    # ring row beyond the TRUE image edge while its edge flag is off, and
-    # a replicated-input ring is not the reference's replicated-conv2-
-    # output ring (`libsrcnn.cpp:463-489`).  Dropping those cuts merges
-    # the offending 1-row band into its neighbor.
-    cuts = [r for r in range(band_rows, dst_h, band_rows)
-            if r != 1 and r != dst_h - 1]
-    edges = [0] + cuts + [dst_h]
-    bands = []
-    for r0, r1 in zip(edges[:-1], edges[1:]):
-        rows_y = np.clip(np.arange(r0 - CONV_HALO, r1 + CONV_HALO),
-                         0, dst_h - 1)
-        rows_c = np.arange(r0, r1)
-        iy = gy_idx[rows_y]
-        ic = gc_idx[rows_c]
-        smin = int(min(iy.min(), ic.min()))
-        smax = int(max(iy.max(), ic.max())) + 1
-        bands.append((r0, r1, rows_y, rows_c, smin, smax))
-    s_rows = max(smax - smin for _, _, _, _, smin, smax in bands)
-
+    cuts, bands = _plan_bands(dst_h, band_rows, halo, cfg.model,
+                              gy_idx, gc_idx)
+    plans = [bands]
+    if cfg.self_ensemble:
+        # flipped geometry: the MIRRORED cuts (valid: both cut rules are
+        # mirror-symmetric), windows recomputed from the same tables
+        m_edges = [0] + [dst_h - c for c in reversed(cuts)] + [dst_h]
+        plans.append(_bands_from_edges(m_edges, halo, dst_h, gy_idx, gc_idx))
+    s_rows = max(smax - smin for plan in plans for *_, smin, smax in plan)
     interpret = jax.default_backend() == "cpu"
+
+    def dispatch(img_v, band):
+        return _dispatch_band(img_v, band, params, gy_idx, gy_w, gc_idx,
+                              gc_w, s_rows, dst_h, d, w, dst_w, cfg,
+                              use_pallas, precision, interpret, spec, halo)
+
+    if cfg.self_ensemble:
+        return _chunked_ensemble(image, plans[0], plans[1], dispatch,
+                                 inflight_bands)
+
     outs, convs = [], []
     inflight: list = []   # bounded dispatch window (device arrays)
 
@@ -255,21 +357,87 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
         outs.append(np.asarray(out_b))
         convs.append(np.asarray(conv_b))
 
-    for r0, r1, rows_y, rows_c, smin, smax in bands:
-        bh = r1 - r0
-        src = image[smin:smax]
-        if src.shape[0] < s_rows:           # equalize the compiled shape
-            src = np.pad(src, ((0, s_rows - src.shape[0]), (0, 0), (0, 0)),
-                         mode="edge")
-        vy_idx = jnp.asarray(gy_idx[rows_y] - smin, jnp.int32)
-        vy_w = jnp.asarray(gy_w[rows_y])
-        vc_idx = jnp.asarray(gc_idx[rows_c] - smin, jnp.int32)
-        vc_w = jnp.asarray(gc_w[rows_c])
-        flags = jnp.asarray([r0 == 0, r1 == dst_h, True, True], jnp.int32)
-        fn = _compiled_band(d, s_rows, w, bh, dst_w, int(cfg.filter),
-                            use_pallas, precision, interpret)
-        inflight.append(fn(jnp.asarray(src), params, vy_idx, vy_w,
-                           vc_idx, vc_w, flags))
+    for band in bands:
+        inflight.append(dispatch(image, band))
+        if len(inflight) > inflight_bands:
+            _drain_one()
+    while inflight:
+        _drain_one()
+    return np.concatenate(outs, axis=0), np.concatenate(convs, axis=0)
+
+
+def _dispatch_band(image, band, params, gy_idx, gy_w, gc_idx, gc_w,
+                   s_rows: int, dst_h: int, d: int, src_w: int, dst_w: int,
+                   cfg: SRCNNConfig, use_pallas: bool, precision,
+                   interpret: bool, spec, halo: int):
+    """Slice one band's source rows, bind its runtime tables, and launch
+    the compiled band program (async; returns device arrays)."""
+    r0, r1, rows_y, rows_c, smin, smax = band
+    bh = r1 - r0
+    src = np.ascontiguousarray(image[smin:smax])
+    if src.shape[0] < s_rows:               # equalize the compiled shape
+        src = np.pad(src, ((0, s_rows - src.shape[0]), (0, 0), (0, 0)),
+                     mode="edge")
+    vy_idx = jnp.asarray(gy_idx[rows_y] - smin, jnp.int32)
+    vy_w = jnp.asarray(gy_w[rows_y])
+    vc_idx = jnp.asarray(gc_idx[rows_c] - smin, jnp.int32)
+    vc_w = jnp.asarray(gc_w[rows_c])
+    flags = jnp.asarray([r0 == 0, r1 == dst_h, True, True], jnp.int32)
+    fn = _compiled_band(d, s_rows, src_w, bh, dst_w, int(cfg.filter),
+                        use_pallas, precision, interpret, cfg.model, spec,
+                        halo)
+    return fn(jnp.asarray(src), params, vy_idx, vy_w, vc_idx, vc_w, flags)
+
+
+def _chunked_ensemble(image, bands, mirrored, dispatch,
+                      inflight_bands: int):
+    """Band-wise flip self-ensemble: every output band is the f32 mean of
+    the four flip variants' corresponding bands (round-half-even u8 cast,
+    `jnp.round == np.rint`), bitwise equal to serve._ensemble_body's
+    unflip-mean of the four full-frame u8 outputs.
+
+    A vertically-flipped variant's band ranges are the MIRRORED plan
+    (same cuts, reflected), so its contribution to output band i is its
+    own band n-1-i, vertically unflipped.  Peak memory stays O(band):
+    each output band is reduced and cast before the next is drained.
+    """
+    n = len(bands)
+    flips = ((False, False), (False, True), (True, False), (True, True))
+    views = {fv: image[::-1 if fv[0] else 1, ::-1 if fv[1] else 1]
+             for fv in flips}
+
+    def variant_band(fv, i):
+        fy, _ = fv
+        return (mirrored[n - 1 - i] if fy else bands[i])
+
+    def unflip(a, fv):
+        fy, fx = fv
+        if fy:
+            a = a[::-1]
+        if fx:
+            a = a[:, ::-1]
+        return a
+
+    outs, convs = [], []
+    inflight: list = []   # [(fv, device_out, device_conv) x4] per band
+
+    def _drain_one():
+        group = inflight.pop(0)
+        acc_o = acc_c = None
+        for fv, ob, cb in group:
+            o = unflip(np.asarray(ob), fv).astype(np.float32)
+            c = unflip(np.asarray(cb), fv).astype(np.float32)
+            acc_o = o if acc_o is None else acc_o + o
+            acc_c = c if acc_c is None else acc_c + c
+        outs.append(np.rint(acc_o / 4.0).astype(np.uint8))
+        convs.append(np.rint(acc_c / 4.0).astype(np.uint8))
+
+    for i in range(n):
+        group = []
+        for fv in flips:
+            ob, cb = dispatch(views[fv], variant_band(fv, i))
+            group.append((fv, ob, cb))
+        inflight.append(group)
         if len(inflight) > inflight_bands:
             _drain_one()
     while inflight:

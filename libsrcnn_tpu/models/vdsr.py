@@ -158,6 +158,85 @@ def forward_hr(params: dict, y_hr: jnp.ndarray,
     return out[0] if squeeze else out
 
 
+def halo_width(spec: VDSRSpec) -> int:
+    """Pixels of context one output pixel needs per side: ``depth`` SAME
+    3x3 convs each consume 1 px of neighborhood.  This is the model's
+    halo plan for the explicit-tiling paths (parallel/tiled.py,
+    chunked.py) -- derived from the spec, not hard-coded."""
+    return spec.depth
+
+
+def _edge_refresh(x: jnp.ndarray, flags: jnp.ndarray, halo: int) -> jnp.ndarray:
+    """Re-impose replicate-padding semantics on TRUE image edges of an
+    extended [N, E_h, E_w, C] activation: where a side's flag is set, the
+    ``halo`` boundary rows/cols are replaced by the first interior
+    row/col.  Run before EVERY conv layer: the model's per-layer
+    replicate ("edge") padding at a true edge is NOT the same as padding
+    the input once (each layer must re-replicate its own activations).
+    Interior sides (flag 0) keep real neighbor pixels from the halo
+    exchange; their exact region shrinks by 1 px per conv, bounded by
+    ``halo >= number of convs``."""
+    e_h, e_w = x.shape[1], x.shape[2]
+    ri = jnp.arange(e_h)[None, :, None, None]
+    ci = jnp.arange(e_w)[None, None, :, None]
+    x = jnp.where((flags[0] == 1) & (ri < halo), x[:, halo:halo + 1], x)
+    x = jnp.where((flags[1] == 1) & (ri >= e_h - halo),
+                  x[:, e_h - halo - 1:e_h - halo], x)
+    x = jnp.where((flags[2] == 1) & (ci < halo), x[:, :, halo:halo + 1], x)
+    x = jnp.where((flags[3] == 1) & (ci >= e_w - halo),
+                  x[:, :, e_w - halo - 1:e_w - halo], x)
+    return x
+
+
+def forward_hr_halo(params: dict, ext: jnp.ndarray, flags: jnp.ndarray,
+                    spec: VDSRSpec = VDSRSpec(), *, halo: int | None = None,
+                    clamp: bool = True,
+                    precision=lax.Precision.HIGHEST) -> jnp.ndarray:
+    """VDSR forward on an extended [E_h, E_w] plane carrying ``halo``
+    pixels of context per side -> the interior [E_h-2h, E_w-2h] result,
+    bit-identical to the same rows/cols of :func:`forward_hr` (direct
+    convs) on the full plane.
+
+    ``flags`` [top, bottom, left, right] (int32) mark which borders are
+    TRUE image edges: there the halo pixels are replicated input and
+    :func:`_edge_refresh` re-imposes the per-layer replicate padding;
+    interior borders carry real neighbor pixels (band stream / ppermute
+    exchange) and stay untouched.  This is the same flag mechanism as the
+    fused srcnn kernel's border clamp (kernels/fused_conv._border_clamp),
+    driving per-layer padding semantics instead of the conv2-ring quirk.
+
+    Always the DIRECT conv formulation: the lane-packed conv's reduction
+    order is plane-shape-dependent (measured), so it cannot be
+    bit-identical between a band/tile and the full plane.
+    """
+    if halo is None:
+        halo = halo_width(spec)
+    if halo < spec.depth:
+        raise ValueError(f"halo {halo} < depth {spec.depth} convs")
+    x = ext[None, :, :, None].astype(params["in_w"].dtype)
+
+    def conv(t, w):
+        return _conv_same(t, w, precision)
+
+    h = jnp.maximum(conv(_edge_refresh(x, flags, halo), params["in_w"])
+                    + params["in_b"], 0.0)
+
+    @jax.checkpoint
+    def layer(carry, wb):
+        w, b = wb
+        return jnp.maximum(
+            conv(_edge_refresh(carry, flags, halo), w) + b, 0.0), None
+
+    h, _ = lax.scan(layer, h, (params["mid_w"], params["mid_b"]))
+
+    res = (conv(_edge_refresh(h, flags, halo), params["out_w"])
+           + params["out_b"])[..., 0]
+    out = ext[None].astype(jnp.float32) + res.astype(jnp.float32)
+    if clamp:
+        out = jnp.clip(out, 0.0, 255.0)
+    return out[0, halo:ext.shape[0] - halo, halo:ext.shape[1] - halo]
+
+
 def make_loss_forward(spec: VDSRSpec, lane_pack: int = 1):
     """Adapter for :func:`libsrcnn_tpu.train.trainer.loss_fn`: VDSR
     consumes the ALREADY-INTERPOLATED plane, so training pairs are

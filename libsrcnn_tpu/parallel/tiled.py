@@ -70,9 +70,10 @@ def _resize_axis_sharded(plane, left_l, w_l, halo: int, axis: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "dst_h", "dst_w", "filter_type", "use_pallas", "interpret", "mesh",
-    "precision"))
+    "precision", "model", "spec", "model_halo"))
 def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
-               use_pallas, interpret, mesh: Mesh, precision=None):
+               use_pallas, interpret, mesh: Mesh, precision=None,
+               model: str = "srcnn", spec=None, model_halo: int = 0):
     h, w, d = img.shape
     rows, cols = mesh.shape["row"], mesh.shape["col"]
     y_filter = FilterType(filter_type)
@@ -108,7 +109,27 @@ def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
         rest = [one(planes[c], rt_c, wt_c, hv_c, ct_c, cwt_c, hh_c)
                 for c in range(1, d)]
 
-        if use_pallas:
+        if model != "srcnn":
+            # HR family (per-layer replicate-padded stack): ONE 2-D halo
+            # exchange of `model_halo` real neighbor pixels, then the
+            # flag-gated halo forward -- true-edge shards re-impose the
+            # per-layer padding, interior shards keep exchanged pixels.
+            from .. import pipeline as _pipeline
+
+            mod = _pipeline._lr_family(model)
+            ext = halo_mod._exchange2d(y_r, model_halo, "row", "col")
+            ri = lax.axis_index("row")
+            ci = lax.axis_index("col")
+            rn = lax.psum(1, "row")
+            cn = lax.psum(1, "col")
+            flags = jnp.stack([
+                (ri == 0), (ri == rn - 1), (ci == 0), (ci == cn - 1),
+            ]).astype(jnp.int32)
+            prec = (jax.lax.Precision.HIGHEST if precision is None
+                    else precision)
+            y_sr = mod.forward_hr_halo(params, ext, flags, spec,
+                                       halo=model_halo, precision=prec)
+        elif use_pallas:
             from ..kernels import fused_conv
 
             prec = (jax.lax.Precision.HIGHEST if precision is None
@@ -153,44 +174,59 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
     the tile grid, so each tier stays bit-identical to its single-chip
     twin).
 
-    srcnn-family only: the staged halo plan is sized for the 9-1-5 stack
-    (4+2 px).  The learned families go multi-chip through
-    :func:`..parallel.sharding.upscale_spatial` (GSPMD inserts their
-    halo collectives) or ``upscale_batch``.
+    Models: srcnn (fused Pallas / XLA per-device bodies, halo plan 4+2
+    px with the conv2-ring quirk) and the HR families (vdsr -- direct
+    XLA convs, halo derived from the spec via ``<family>.halo_width``,
+    float32/bfloat16 tiers; bit-identity is vs the api with
+    ``lane_pack=False``).  The LR families (fsrcnn/espcn) go multi-chip
+    through :func:`..parallel.sharding.upscale_spatial` (GSPMD inserts
+    their halo collectives) or ``upscale_batch``.
     """
     from ..ops.resize import scaled_size
+    from .. import pipeline as _pipeline
     from ..pipeline import resolve_pallas
 
     if cfg.self_ensemble:
         raise ValueError("self_ensemble is not implemented for the tiled "
-                         "path; ensemble per frame via api.upscale")
-    if cfg.model != "srcnn":
-        raise ValueError(
-            f"upscale_tiled implements the srcnn 9-1-5 halo plan; "
-            f"model={cfg.model!r} goes multi-chip via "
-            f"sharding.upscale_spatial / upscale_batch")
+                         "path; ensemble per frame via api.upscale, or "
+                         "out-of-core via upscale_chunked")
     if cfg.step_scale:
         raise ValueError(
             "step_scale is not supported by the tiled path (it runs one "
             "direct pass; silently skipping the chained-x2 u8 round trips "
             "would break bit-identity with api.upscale) -- chain "
             "upscale_tiled calls per x2 pass instead")
-    use_pallas = resolve_pallas(cfg.use_pallas)
-    if cfg.compute_dtype == "float32":
-        precision = None  # HIGHEST
-    elif cfg.compute_dtype in ("bfloat16", "bfloat16_fast") and use_pallas:
-        from ..kernels import fused_conv
+    spec, model_halo = None, 0
+    if cfg.model == "srcnn":
+        use_pallas = resolve_pallas(cfg.use_pallas)
+        if cfg.compute_dtype == "float32":
+            precision = None  # HIGHEST
+        elif cfg.compute_dtype in ("bfloat16", "bfloat16_fast") and use_pallas:
+            from ..kernels import fused_conv
 
-        precision = (jax.lax.Precision.DEFAULT
-                     if cfg.compute_dtype == "bfloat16"
-                     else fused_conv.BF16X1)
+            precision = (jax.lax.Precision.DEFAULT
+                         if cfg.compute_dtype == "bfloat16"
+                         else fused_conv.BF16X1)
+        else:
+            raise ValueError(
+                "the tiled path's srcnn conv tiers are float32 (exact, XLA "
+                "or Pallas body) and bfloat16/bfloat16_fast (Pallas body "
+                f"only) -- got compute_dtype={cfg.compute_dtype!r} with "
+                f"use_pallas={cfg.use_pallas!r}; use single-chip or "
+                "upscale_batch for other tiers")
+    elif cfg.model in _pipeline.HR_FAMILIES:
+        precision = _pipeline.family_precision(cfg.compute_dtype)
+        use_pallas = False
+        mod = _pipeline._lr_family(cfg.model)
+        spec = params.get("__spec__") or mod.default_spec()
+        params = {k: v for k, v in params.items() if k != "__spec__"}
+        model_halo = mod.halo_width(spec)
     else:
         raise ValueError(
-            "the tiled path's conv tiers are float32 (exact, XLA or "
-            "Pallas body) and bfloat16/bfloat16_fast (Pallas body only) "
-            f"-- got compute_dtype={cfg.compute_dtype!r} with "
-            f"use_pallas={cfg.use_pallas!r}; use single-chip or "
-            "upscale_batch for other tiers")
+            f"upscale_tiled spatially shards the HR-domain models (srcnn "
+            f"and {_pipeline.HR_FAMILIES}); model={cfg.model!r} runs at "
+            f"low resolution and goes multi-chip via "
+            f"sharding.upscale_spatial / upscale_batch")
     h, w, d = image.shape
     rows, cols = mesh.shape["row"], mesh.shape["col"]
     dst_w, dst_h = scaled_size(w, h, multiply)
@@ -198,6 +234,11 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
                               ("H'", dst_h, rows), ("W'", dst_w, cols)):
         if size % parts:
             raise ValueError(f"{name}={size} not divisible by mesh axis {parts}")
+    if model_halo and (dst_h // rows < model_halo
+                       or dst_w // cols < model_halo):
+        raise ValueError(
+            f"per-shard tile {dst_h // rows}x{dst_w // cols} smaller than "
+            f"the {cfg.model} halo {model_halo}")
 
     y_filter = FilterType(cfg.filter)
     c_filter = chroma_filter(y_filter)
@@ -217,4 +258,5 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
         dst_h=dst_h, dst_w=dst_w, filter_type=int(cfg.filter),
         use_pallas=use_pallas,
         interpret=jax.default_backend() == "cpu", mesh=mesh,
-        precision=precision)
+        precision=precision, model=cfg.model, spec=spec,
+        model_halo=model_halo)

@@ -84,18 +84,75 @@ def test_chunked_inflight_window_invariant(img, depth):
 
 def test_chunked_validates():
     img = np.zeros((16, 16, 3), np.uint8)
-    with pytest.raises(ValueError, match="model"):
-        upscale_chunked(img, 2.0, SRCNNConfig(model="vdsr"))
+    with pytest.raises(ValueError, match="upscale_batch"):
+        upscale_chunked(img, 2.0, SRCNNConfig(model="fsrcnn"))
     with pytest.raises(ValueError, match="step_scale"):
         upscale_chunked(img, 4.0, SRCNNConfig(step_scale=True))
-    with pytest.raises(ValueError, match="ensemble"):
-        upscale_chunked(img, 2.0, SRCNNConfig(self_ensemble=True))
     with pytest.raises(ValueError, match="tiers"):
         upscale_chunked(img, 2.0, SRCNNConfig(compute_dtype="bfloat16",
                                               use_pallas=False))
+    with pytest.raises(ValueError):   # family tiers are f32/bf16 only
+        upscale_chunked(img, 2.0, SRCNNConfig(model="vdsr",
+                                              compute_dtype="int8"))
     with pytest.raises(ValueError, match="band_rows"):
         upscale_chunked(img, 2.0, band_rows=0)
     with pytest.raises(ValueError, match="inflight_bands"):
         upscale_chunked(img, 2.0, inflight_bands=0)
     with pytest.raises(ValueError, match="scale"):
         upscale_chunked(img, 0.01)
+
+
+# --- HR-family (vdsr) banding: halo plan derived from the spec ---------
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("scale,band", [
+    (2.0, 20),
+    (1.7, 9),     # fractional scale (no LR family serves this)
+    (0.5, 33),    # downscale: horizontal-first ordering
+])
+def test_chunked_vdsr_bitexact(img, dtype, scale, band):
+    """vdsr bands bit-identically to the api's direct-conv forward: the
+    depth-px halo carries real neighbor rows, true edges re-impose the
+    per-layer replicate padding (models/vdsr.forward_hr_halo)."""
+    cfg = SRCNNConfig(model="vdsr", lane_pack=False, compute_dtype=dtype)
+    ref, refc = upscale(img, scale, cfg, return_conv_map=True)
+    out, conv = upscale_chunked(img, scale, cfg, band_rows=band)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(conv, refc)
+
+
+def test_chunked_vdsr_merges_cuts_inside_halo(img):
+    """band_rows smaller than the model halo: every cut closer than
+    halo px to a true edge must be dropped (a band whose halo crosses
+    the image edge unflagged would see replicated-input rows where the
+    model's per-layer padding differs)."""
+    cfg = SRCNNConfig(model="vdsr", lane_pack=False)
+    ref = upscale(img, 2.0, cfg)
+    out, _ = upscale_chunked(img, 2.0, cfg, band_rows=5)  # halo = 16 > 5
+    np.testing.assert_array_equal(out, ref)
+
+
+# --- band-wise flip self-ensemble --------------------------------------
+
+
+@pytest.mark.parametrize("model", ["srcnn", "vdsr"])
+def test_chunked_ensemble_matches_api(img, model):
+    """self_ensemble=True on the chunked path must equal the api-level
+    ensemble bitwise: per output band, the four flip variants' bands
+    (mirrored plan for vertical flips) are unflipped and mean-reduced
+    exactly as serve._ensemble_body does."""
+    cfg = SRCNNConfig(model=model, lane_pack=False, use_pallas=False,
+                      self_ensemble=True)
+    ref, refc = upscale(img, 2.0, cfg, return_conv_map=True)
+    out, conv = upscale_chunked(img, 2.0, cfg, band_rows=13)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(conv, refc)
+
+
+def test_chunked_ensemble_fractional_and_rgba():
+    img4 = np.random.default_rng(47).integers(0, 256, (30, 26, 4), np.uint8)
+    cfg = SRCNNConfig(use_pallas=False, self_ensemble=True)
+    ref = upscale(img4, 2.4, cfg)
+    out, _ = upscale_chunked(img4, 2.4, cfg, band_rows=11)
+    np.testing.assert_array_equal(out, ref)

@@ -64,9 +64,9 @@ def test_tiled_validates_divisibility(params, img):
         upscale_tiled(img[:60], params, 2.0, SRCNNConfig(), mesh)  # 60 % 8 != 0
 
 
-def test_tiled_rejects_model_families():
-    """upscale_tiled's staged halo plan is sized for the 9-1-5 stack;
-    family configs must get a clear error pointing at the GSPMD paths,
+def test_tiled_rejects_lr_families():
+    """The LR families run at low resolution (learned upscale head);
+    their configs must get a clear error pointing at the GSPMD paths,
     never a silent mis-run over mismatched params."""
     import jax
     import pytest
@@ -78,7 +78,48 @@ def test_tiled_rejects_model_families():
     mesh = make_mesh({"data": 1, "row": 2, "col": 1}, jax.devices()[:2])
     img = np.zeros((16, 16, 3), np.uint8)
     with pytest.raises(ValueError, match="upscale_spatial"):
-        upscale_tiled(img, {}, 2.0, SRCNNConfig(model="vdsr"), mesh)
+        upscale_tiled(img, {}, 2.0, SRCNNConfig(model="fsrcnn"), mesh)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_tiled_vdsr_bitexact(img, dtype):
+    """HR-family tiling: the vdsr halo plan is DERIVED from the spec
+    (depth SAME convs -> depth-px halo) and the per-layer replicate
+    padding is re-imposed on true-edge shards only; the partitioned
+    result must be bit-identical to the api (direct convs) per tier."""
+    from libsrcnn_tpu import pipeline
+
+    cfg = SRCNNConfig(model="vdsr", lane_pack=False, compute_dtype=dtype)
+    params = pipeline.load_model_params(cfg, 2.0)
+    ref, refc = upscale(img, 2.0, cfg, params=params, return_conv_map=True)
+    mesh = make_mesh({"data": 1, "row": 2, "col": 2}, jax.devices()[:4])
+    out, conv = upscale_tiled(img, params, 2.0, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    np.testing.assert_array_equal(np.asarray(conv), refc)
+
+
+def test_tiled_vdsr_fractional_scale_and_row_mesh(img):
+    """One checkpoint serves fractional factors on the tiled path too
+    (the reference-shaped limitation the generalization removes)."""
+    from libsrcnn_tpu import pipeline
+
+    cfg = SRCNNConfig(model="vdsr", lane_pack=False)
+    params = pipeline.load_model_params(cfg, 1.5)
+    ref = upscale(img, 1.5, cfg, params=params)
+    mesh = make_mesh({"data": 1, "row": 4, "col": 1}, jax.devices()[:4])
+    out, _ = upscale_tiled(img, params, 1.5, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_tiled_vdsr_rejects_tile_smaller_than_halo():
+    from libsrcnn_tpu import pipeline
+
+    cfg = SRCNNConfig(model="vdsr", lane_pack=False)
+    params = pipeline.load_model_params(cfg, 2.0)
+    img = np.zeros((24, 24, 3), np.uint8)   # dst 48 -> 12-px tiles < 16
+    mesh = make_mesh({"data": 1, "row": 4, "col": 2})
+    with pytest.raises(ValueError, match="halo"):
+        upscale_tiled(img, params, 2.0, cfg, mesh)
 
 
 def test_tiled_rejects_step_scale_and_non_f32():

@@ -56,7 +56,9 @@ def validate_chunked() -> int:
     """Out-of-core band streaming on-chip: bit-identical to the one-shot
     pipeline at the same tier.  This is also the only single-chip
     exercise of the fused kernel's pad_mode="halo" body on real hardware
-    (the mesh paths that share it need >1 device)."""
+    (the mesh paths that share it need >1 device).  Also checks the
+    HR-family banding (vdsr, spec-derived halo plan, direct convs) and
+    the band-wise flip ensemble against their api-level twins."""
     from libsrcnn_tpu import upscale_chunked
 
     fails = 0
@@ -69,8 +71,28 @@ def validate_chunked() -> int:
         dc = int(np.abs(conv.astype(int) - np.asarray(refc, int)).max())
         ok = d == 0 and dc == 0
         fails += 0 if ok else 1
-        print(f"{'OK ' if ok else 'BAD'} chunked {dtype:13s} "
+        print(f"{'OK ' if ok else 'BAD'} chunked srcnn {dtype:13s} "
               f"vs one-shot maxdiff {d} conv {dc}", flush=True)
+    for model, dtype, ens in (("vdsr", "float32", False),
+                              ("vdsr", "bfloat16", False),
+                              ("vdsr", "float32", True),
+                              ("srcnn", "float32", True)):
+        # direct convs on both sides: the lane-packed reduction order is
+        # plane-shape-dependent, so banding pins lane_pack=False
+        cfg = SRCNNConfig(model=model, compute_dtype=dtype,
+                          lane_pack=False, self_ensemble=ens)
+        try:
+            ref = upscale(img, 2.0, cfg)
+        except FileNotFoundError:
+            print(f"--- chunked {model}: no shipped weights, skipped")
+            continue
+        out, _ = upscale_chunked(img, 2.0, cfg, band_rows=48)
+        d = int(np.abs(out.astype(int) - np.asarray(ref, int)).max())
+        ok = d == 0
+        fails += 0 if ok else 1
+        tag = f"{model}+ens" if ens else model
+        print(f"{'OK ' if ok else 'BAD'} chunked {tag:9s} {dtype:9s} "
+              f"vs one-shot maxdiff {d}", flush=True)
     return fails
 
 
