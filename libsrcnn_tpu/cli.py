@@ -86,7 +86,7 @@ def parse_args(argv: list[str]):
             use_pallas = True
         elif arg.startswith("--model="):
             model = arg[8:]
-            if model not in ("srcnn", "fsrcnn", "espcn", "vdsr"):
+            if model not in ("srcnn", "fsrcnn", "espcn", "vdsr", "srcnn955"):
                 raise SystemExit(f"unknown model: {model}")
         elif arg == "--bf16":
             dtype = "bfloat16"  # throughput mode (~1.5x, SSIM>=0.999)
@@ -114,7 +114,7 @@ def parse_args(argv: list[str]):
         raise SystemExit(
             "usage: srcnn-tpu <input.(png|jpg|bmp)> [output.png] "
             "--scale=F --filter=0..4|name --step --pallas|--no-pallas "
-            "--model=srcnn|fsrcnn|espcn|vdsr --ensemble --bf16 "
+            "--model=srcnn|fsrcnn|espcn|vdsr|srcnn955 --ensemble --bf16 "
             "--bf16-fast --int8 "
             "--repeat=N "
             "--debug-dir=DIR"

@@ -29,13 +29,19 @@ LR_FAMILIES = ("fsrcnn", "espcn")
 #: learned families that, like SRCNN, run AFTER classical interpolation at
 #: high resolution (`forward_hr(params, y_hr, spec)`): one checkpoint
 #: serves every factor, including fractional scales and step-scale chains.
-HR_FAMILIES = ("vdsr",)
+#: "srcnn955" is Dong et al.'s higher-rated 9-5-5 SRCNN variant, served
+#: by the generic family module.
+HR_FAMILIES = ("vdsr", "srcnn955")
+
+#: model-name -> models submodule (families whose module name differs)
+_FAMILY_MODULES = {"srcnn955": "srcnn_generic"}
 
 
 def _lr_family(name: str):
     import importlib
 
-    return importlib.import_module(f".models.{name}", __package__)
+    return importlib.import_module(
+        f".models.{_FAMILY_MODULES.get(name, name)}", __package__)
 
 
 #: valid srcnn compute tiers (the learned families take float32/bfloat16,

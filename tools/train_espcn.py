@@ -57,6 +57,10 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval-every", type=int, default=500)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--corpus", choices=("base", "extended"),
+                    default="extended",
+                    help="base = round-3 3-photo corpus; extended adds "
+                         "the curated in-container textures (tools/corpus.py)")
     ap.add_argument("--scale", type=int, default=2,
                     help="upscale factor (weights file is per-scale)")
     ap.add_argument("--out", default=None,
@@ -74,7 +78,7 @@ def main(argv=None) -> int:
     from libsrcnn_tpu.train import trainer
 
     spec = espcn.ESPCNSpec(scale=args.scale)
-    images = shared.corpus_images()
+    images = shared.corpus_images(extended=args.corpus == "extended")
     print(f"corpus: {len(images)} images "
           f"({sum(i.shape[0] * i.shape[1] for i in images) / 1e6:.2f} MP), "
           f"butterfly held out")

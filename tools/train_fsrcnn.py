@@ -32,24 +32,14 @@ WEIGHTS_OUT = os.path.join(os.path.dirname(__file__), "..", "libsrcnn_tpu",
                            "models", "weights", "fsrcnn_x2.npz")
 
 
-def corpus_images() -> list[np.ndarray]:
-    """Training images as RGB u8 (butterfly is held out for validation)."""
-    from PIL import Image
+def corpus_images(extended: bool = False) -> list[np.ndarray]:
+    """Training images as RGB u8 (butterfly is held out for validation).
 
-    paths = ["/root/reference/Pictures/castle.jpg"]
-    try:
-        import sklearn
+    ``extended=True`` adds the curated in-container texture set (see
+    tools/corpus.py) -- ~50x the pixel count of the 3 base photos."""
+    import corpus
 
-        img_dir = os.path.join(os.path.dirname(sklearn.__file__),
-                               "datasets", "images")
-        for name in ("china.jpg", "flower.jpg"):
-            p = os.path.join(img_dir, name)
-            if os.path.exists(p):
-                paths.append(p)
-    except ImportError:
-        pass
-    return [np.asarray(Image.open(p).convert("RGB")) for p in paths
-            if os.path.exists(p)]
+    return corpus.corpus_images(extended=extended)
 
 
 def dihedral_variants(y: np.ndarray) -> list[np.ndarray]:
@@ -137,6 +127,10 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--scale", type=int, default=2,
                     help="upscale factor (weights file is per-scale)")
+    ap.add_argument("--corpus", choices=("base", "extended"),
+                    default="extended",
+                    help="base = round-3 3-photo corpus; extended adds "
+                         "the curated in-container textures (tools/corpus.py)")
     ap.add_argument("--out", default=None,
                     help="output npz (default: shipped fsrcnn_x{scale}.npz)")
     args = ap.parse_args(argv)
@@ -152,7 +146,7 @@ def main(argv=None) -> int:
     from libsrcnn_tpu.train import trainer
 
     spec = fsrcnn.FSRCNNSpec(scale=args.scale)
-    images = corpus_images()
+    images = corpus_images(extended=args.corpus == "extended")
     print(f"corpus: {len(images)} images "
           f"({sum(i.shape[0] * i.shape[1] for i in images) / 1e6:.2f} MP), "
           f"butterfly held out")

@@ -152,6 +152,10 @@ def main(argv=None) -> int:
     ap.add_argument("--content-scales", default="",
                     help="comma-separated extra content zooms for the "
                          "pool (e.g. '0.7,0.5'); empty = shipped recipe")
+    ap.add_argument("--corpus", choices=("base", "extended"),
+                    default="extended",
+                    help="base = round-3 3-photo corpus; extended adds "
+                         "the curated in-container textures (tools/corpus.py)")
     ap.add_argument("--lane-pack", type=int, default=0,
                     help="train through the MXU-lane-packed formulation "
                          "(ops/packed_conv.py; 0 = direct convs; 4 = "
@@ -166,7 +170,7 @@ def main(argv=None) -> int:
     from libsrcnn_tpu.train import trainer
 
     spec = vdsr.VDSRSpec(depth=args.depth, ch=args.ch)
-    images = corpus_images()
+    images = corpus_images(extended=args.corpus == "extended")
     print(f"corpus: {len(images)} images, butterfly held out; "
           f"model {spec.name}", flush=True)
     cscales = tuple(float(f) for f in args.content_scales.split(",") if f)
