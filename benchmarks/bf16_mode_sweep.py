@@ -56,15 +56,19 @@ def main() -> None:
         params, ys[0], precision=jax.lax.Precision.HIGHEST))
 
     modes = {
-        "split": jax.lax.Precision.DEFAULT,
-        "bf16x1": fused_conv.BF16X1,
+        "split": (jax.lax.Precision.DEFAULT, False),
+        "bf16x1": (fused_conv.BF16X1, False),
+        # i32-packed bf16 tap pairs in the im2col scratch (round 4): the
+        # formulation that halves the tap-store traffic WITHOUT sub-word
+        # stores (full 32-bit words; bitcast unpacks before the GEMM)
+        "bf16x1pk": (fused_conv.BF16X1, True),
     }
     fns = {}
-    for mode, prec in modes.items():
+    for mode, (prec, pk) in modes.items():
         for th in ths:
-            def fn(y, th=th, prec=prec):
+            def fn(y, th=th, prec=prec, pk=pk):
                 return fused_conv.forward_y(params, y, tile_h=th,
-                                            precision=prec)
+                                            precision=prec, pack_im2col=pk)
             try:
                 out = np.asarray(fn(ys[0]))  # compile + correctness probe
             except Exception as e:

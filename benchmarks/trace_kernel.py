@@ -41,7 +41,8 @@ def capture(size: int, mode: str, iters: int = 4,
     else:
         dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
         params = jax.device_put(srcnn.load_params(dtype=dtype))
-    prec = fused_conv.MODE_PRECISIONS.get(mode)
+    pack = mode == "bf16x1pk"
+    prec = fused_conv.MODE_PRECISIONS.get("bf16x1" if pack else mode)
     if th is None:
         # the mode's PRODUCTION tile height, so traces measure what the
         # pipeline actually runs
@@ -57,7 +58,8 @@ def capture(size: int, mode: str, iters: int = 4,
             p, x, tile_h=th, full_pad_shape=(size, size)))
     else:
         fn = jax.jit(lambda p, x: fused_conv.forward_y(
-            p, x, tile_h=th, precision=prec, full_pad_shape=(size, size)))
+            p, x, tile_h=th, precision=prec, full_pad_shape=(size, size),
+            pack_im2col=pack))
     out = fn(params, ys[0])
     np.asarray(out[0, :1])  # warm-up + true sync through the relay
 
@@ -107,7 +109,8 @@ def report(trace_dir: str, iters: int, out_mp: float) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
-    ap.add_argument("--mode", choices=("exact", "split", "bf16x1", "int8"),
+    ap.add_argument("--mode", choices=("exact", "split", "bf16x1",
+                                       "bf16x1pk", "int8"),
                     default="exact")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--th", type=int, default=None,

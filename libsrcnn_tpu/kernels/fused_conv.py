@@ -174,7 +174,7 @@ def _conv3_roll_reduce(g, th: int):
 
 def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
             win_ref, out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
-            gh: int, gw: int, precision=None):
+            gh: int, gw: int, precision=None, pack: bool = False):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ch = th + 4
@@ -184,25 +184,51 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
     shift = j * TW - (j * TW) // 128 * 128
     ext = pltpu.roll(ext, (EW - shift) % EW, axis=2)
 
-    # --- im2col: taps -> sublanes --------------------------------------
-    # The scratch stays f32 in every mode.  A bf16 scratch (halving the
-    # im2col traffic, ~1.7 ms of the 5.2 ms bf16x1 kernel) was attempted
-    # with word-aligned PAIRED tap stores (dodging the packed-sublane RMW
-    # penalty that sank single bf16/int8 tap stores): Mosaic's compile
-    # helper crashes outright on the concat+2-sublane-store pattern at
-    # every tile height (round 3; same restructure territory where the
-    # row-band/supertile variants died in round 2).  Re-test on a newer
-    # toolchain.
-    for dy in range(9):
-        for dx in range(9):
-            k = dy * 9 + dx
-            q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW]
-    q = q_scr[:]                                  # [ch, 81, CW]
+    if pack:
+        # --- packed im2col (bf16x1 mode): bf16 tap PAIRS in i32 words ---
+        # Halves the im2col scratch traffic without 16-bit stores: two
+        # bf16-rounded taps ride one full 32-bit word (no packed-sublane
+        # RMW -- the round-2/3 killers were sub-word stores, not the
+        # GEMM).  The window is bf16-rounded ONCE up front with the
+        # round-to-nearest-even integer identity (bitwise equal to
+        # XLA's f32->bf16 convert; verified), so the 81-fold tap fan-out
+        # replicates rounded BITS, not rounding work.  The final bitcast
+        # unpacks sublane 2k <- word k's LOW half, so the taps land in
+        # natural order and w1 only grows a zero row (k=81 pads the odd
+        # tap count).
+        bits = pltpu.bitcast(ext, jnp.int32)
+        b16 = ((bits + 0x7FFF + ((bits >> 16) & 1)) >> 16) & 0xFFFF
+        for k in range(0, 81, 2):
+            dy0, dx0 = divmod(k, 9)
+            lo = b16[dy0:dy0 + ch, :, dx0:dx0 + CW]
+            if k + 1 < 81:
+                dy1, dx1 = divmod(k + 1, 9)
+                word = lo | (b16[dy1:dy1 + ch, :, dx1:dx1 + CW] << 16)
+            else:
+                word = lo
+            q_scr[:, k // 2:k // 2 + 1, :] = word
+        q = pltpu.bitcast(q_scr[:], jnp.bfloat16)  # [ch, 82, CW]
+        h1 = jax.lax.dot_general(q, w1_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
+    else:
+        # --- im2col: taps -> sublanes ------------------------------------
+        # The scratch is f32.  A bf16 scratch was attempted with
+        # word-aligned paired SUB-WORD stores (concat + 2-sublane store):
+        # Mosaic's compile helper crashes outright on that pattern at
+        # every tile height (round 3); the i32-packed full-word variant
+        # above is the formulation that sidesteps the bf16 store path
+        # entirely (round 4).
+        for dy in range(9):
+            for dx in range(9):
+                k = dy * 9 + dx
+                q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW]
+        q = q_scr[:]                              # [ch, 81, CW]
 
-    # --- conv1: batched [81,CW]^T x [81,64] MXU GEMMs --------------------
-    h1 = _dot(q, w1_ref[:], (((1,), (0,)), ((), ())),
-              precision)                          # [ch, CW, 64] f32
-    h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
+        # --- conv1: batched [81,CW]^T x [81,64] MXU GEMMs ----------------
+        h1 = _dot(q, w1_ref[:], (((1,), (0,)), ((), ())),
+                  precision)                      # [ch, CW, 64] f32
+        h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
 
     # --- conv2: batched [CW,64] x [64,32] --------------------------------
     h2 = _dot(h1, w2_ref[:], (((2,), (0,)), ((), ())),
@@ -347,10 +373,11 @@ def _plane_setup(y, edge_flags, th: int, pad_mode: str,
 
 
 def _launch(body, params, yext, flags, *, h, w, gh, gw, hp, rb, th,
-            scratch_dtype, interpret):
+            scratch_dtype, interpret, scratch_taps: int = 81):
     """Shared pallas_call plumbing: grid/BlockSpecs (params in VMEM, edge
     flags in SMEM, Element-granular input windows), the im2col scratch in
-    the variant's dtype, and the junk-column-dropping reshape epilogue
+    the variant's dtype (``scratch_taps`` sublanes: 81 tap rows, or 41
+    packed pair-words), and the junk-column-dropping reshape epilogue
     (blocks land in final row order, so no transpose)."""
     out4 = pl.pallas_call(
         body,
@@ -365,7 +392,7 @@ def _launch(body, params, yext, flags, *, h, w, gh, gw, hp, rb, th,
         out_specs=pl.BlockSpec((1, th, 1, 1, CW),
                                lambda i, j: (i, 0, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((th + 4, 81, CW), scratch_dtype)],
+        scratch_shapes=[pltpu.VMEM((th + 4, scratch_taps, CW), scratch_dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * hp * gw * TW * (81 * 64 + 64 * 32 + 25 * 32),
@@ -421,12 +448,18 @@ def forward_y_int8(qparams: dict, y: jnp.ndarray, *,
     return out[0] if squeeze else out
 
 
+#: auto-select the i32-packed bf16 im2col for the bf16x1 tier (validated
+#: on-chip; benchmarks/bf16_mode_sweep.py A/Bs it via pack_im2col)
+PACK_IM2COL_DEFAULT = True
+
+
 @functools.partial(jax.jit,
                    static_argnames=("th", "interpret", "precision",
-                                    "pad_mode", "full_shape"))
+                                    "pad_mode", "full_shape", "pack_im2col"))
 def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
            interpret: bool, precision=None, pad_mode: str = "none",
-           full_shape: tuple | None = None):
+           full_shape: tuple | None = None,
+           pack_im2col: bool | None = None):
     """Run the fused kernel on one plane.
 
     ``pad_mode``:
@@ -443,11 +476,25 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
     """
     (h, w, gh, gw, hp, rb, yext, a_hi, s_hi,
      flags) = _plane_setup(y, edge_flags, th, pad_mode, full_shape)
+    if pack_im2col is None:
+        pack_im2col = PACK_IM2COL_DEFAULT and precision == BF16X1
+    if pack_im2col and precision != BF16X1:
+        raise ValueError("pack_im2col is the bf16x1 tier's im2col "
+                         "formulation (bf16 taps; exact/split tiers need "
+                         "the f32 scratch)")
+    if pack_im2col:
+        # one zero row pads the odd tap count to 41 pair-words; the GEMM
+        # contracts 82 bf16 sublanes against these 82 rows
+        w1 = jnp.concatenate(
+            [w1, jnp.zeros((1, w1.shape[1]), w1.dtype)]).astype(jnp.bfloat16)
     body = functools.partial(_kernel, th=th, a_hi=a_hi, s_hi=s_hi,
-                             gh=gh, gw=gw, precision=precision)
+                             gh=gh, gw=gw, precision=precision,
+                             pack=pack_im2col)
     return _launch(body, (w1, b1, w2, b2, w3, b3), yext, flags, h=h, w=w,
                    gh=gh, gw=gw, hp=hp, rb=rb, th=th,
-                   scratch_dtype=jnp.float32, interpret=interpret)
+                   scratch_dtype=jnp.int32 if pack_im2col else jnp.float32,
+                   scratch_taps=41 if pack_im2col else 81,
+                   interpret=interpret)
 
 
 def tile_h_for(precision) -> int:
@@ -459,7 +506,8 @@ def tile_h_for(precision) -> int:
 def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
               interpret: bool | None = None,
               precision=jax.lax.Precision.HIGHEST,
-              full_pad_shape: tuple | None = None) -> jnp.ndarray:
+              full_pad_shape: tuple | None = None,
+              pack_im2col: bool | None = None) -> jnp.ndarray:
     """Drop-in fused replacement for :func:`libsrcnn_tpu.models.srcnn.forward_y`
     (clamped inference path).  Accepts [H, W] or [N, H, W].
 
@@ -495,6 +543,7 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
         plane = y[k].astype(jnp.float32)
         outs.append(_fused(plane, w1, b1, w2, b2, w3, b3, th=tile_h,
                            interpret=interpret, precision=precision,
-                           pad_mode=pad_mode, full_shape=full_pad_shape))
+                           pad_mode=pad_mode, full_shape=full_pad_shape,
+                           pack_im2col=pack_im2col))
     out = jnp.stack(outs)
     return out[0] if squeeze else out

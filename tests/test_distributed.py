@@ -59,3 +59,6 @@ def test_two_process_tiled_upscale():
     for rank, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {rank} failed:\n{out}"
         assert "OK" in out, f"rank {rank} no OK:\n{out}"
+        # the dp/sp train_step across the process boundary must have run
+        # and matched the single-process twin
+        assert "OK-TRAIN" in out, f"rank {rank} no OK-TRAIN:\n{out}"

@@ -23,6 +23,11 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "tests", "goldens", "goldens
 
 
 def run_reference(img: np.ndarray, multiply: float, filt: int, step: bool):
+    if img.ndim == 2:
+        # gray-promoted path: the reference test app normalizes grayscale
+        # to RGB before ProcessSRCNN (`convImage`, test.cpp:45-120); the
+        # library itself only takes d>=3 buffers
+        img = np.ascontiguousarray(np.stack([img] * 3, axis=-1))
     h, w, d = img.shape
     with tempfile.TemporaryDirectory() as td:
         inp = os.path.join(td, "in.raw")
@@ -77,6 +82,12 @@ def main():
             butterfly[0:48, 0:48],
             np.random.default_rng(1).integers(0, 256, (48, 48), np.uint8),
         ]),
+        # stored 2-D: exercises the framework's gray->RGB promotion
+        # (api._as_u8_image, mirroring convImage test.cpp:45-120); the
+        # reference driver receives the promoted 3-channel buffer
+        "gray64": np.asarray(
+            Image.open("/root/reference/Pictures/butterfly.png")
+            .convert("L"))[64:128, 64:128],
     }
 
     configs = [
@@ -105,6 +116,14 @@ def main():
         ("castle96", 2.0, 3, False),
         ("rgba48", 4.0, 2, True),
         ("noise33", 3.0, 0, False),
+        # round 4 additions: gray-promoted input (convImage path),
+        # castle at fractional scales, RGBA + fractional step-scale
+        ("gray64", 2.0, 2, False),
+        ("gray64", 3.0, 1, False),
+        ("gray64", 4.0, 2, True),
+        ("castle96", 1.5, 2, False),
+        ("castle96", 2.5, 3, False),
+        ("rgba48", 2.5, 2, True),
     ]
 
     for name, img in inputs.items():
