@@ -59,10 +59,17 @@ EW = 384          # window block lane width: Mosaic requires Element lane
 
 
 DEFAULT_TH = 40   # largest tile height fitting VMEM (f32 GEMM buffers)
-BF16_TH = 48      # bf16 modes: HIGHEST's 3-pass GEMMs keep hi/lo operand
-                  # splits live and cap th at 40; the 1/2-pass bf16 modes
-                  # have smaller live sets and th=48 measured fastest of
-                  # {40, 48, 64, 80} (benchmarks/bf16_mode_sweep.py)
+BF16_TH = 48      # split-bf16x2 mode: HIGHEST's 3-pass GEMMs keep hi/lo
+                  # operand splits live and cap th at 40; the 2-pass split
+                  # mode fits th=48, measured fastest of {40, 48, 64, 80}
+                  # (benchmarks/bf16_mode_sweep.py)
+BF16X1_TH = 128   # bf16x1 + packed im2col: the i32 pair-word scratch is
+                  # half the f32 one, freeing VMEM for much taller tiles
+                  # (less window over-fetch); round-4 device-true sweep
+                  # th in {48..200}: 128/160/176 tie at 4.43-4.46 ms per
+                  # 2048^2 (940 MP/s) vs 5.21 ms at the old th=48 -- 128
+                  # divides the common frame heights and has the smallest
+                  # VMEM footprint of the tie
 INT8_TH = 80      # int8 kernel default: no hi/lo GEMM splits + int8 scratch
                   # leave VMEM headroom for taller tiles; th=80 measured
                   # fastest of {40, 80, 120} (benchmarks/int8_th_sweep.py)
@@ -195,7 +202,10 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
         # replicates rounded BITS, not rounding work.  The final bitcast
         # unpacks sublane 2k <- word k's LOW half, so the taps land in
         # natural order and w1 only grows a zero row (k=81 pads the odd
-        # tap count).
+        # tap count).  NOTE: the 81 -> 82 contraction length may regroup
+        # the GEMM's f32 accumulation (<= 1 ulp vs the unpacked path);
+        # the kernel stays deterministic within a configuration, which is
+        # what the band/tile bit-identity invariants rest on.
         bits = pltpu.bitcast(ext, jnp.int32)
         b16 = ((bits + 0x7FFF + ((bits >> 16) & 1)) >> 16) & 0xFFFF
         for k in range(0, 81, 2):
@@ -500,7 +510,11 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
 def tile_h_for(precision) -> int:
     """The mode's default tile height (the pipeline must use the same th
     for :func:`padded_geometry` and :func:`forward_y`)."""
-    return DEFAULT_TH if precision == jax.lax.Precision.HIGHEST else BF16_TH
+    if precision == jax.lax.Precision.HIGHEST:
+        return DEFAULT_TH
+    if precision == BF16X1 and PACK_IM2COL_DEFAULT:
+        return BF16X1_TH
+    return BF16_TH
 
 
 def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
@@ -522,7 +536,10 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     if tile_h is None:
-        tile_h = tile_h_for(precision)
+        # an explicit pack_im2col=False opts out of the packed default's
+        # taller tile too (the f32 scratch at BF16X1_TH would blow VMEM)
+        tile_h = (BF16_TH if pack_im2col is False and precision == BF16X1
+                  else tile_h_for(precision))
     squeeze = y.ndim == 2
     if squeeze:
         y = y[None]

@@ -70,9 +70,10 @@ def test_bf16_modes_accuracy_ladder(params):
     assert d_x1 <= 8.0          # + activation bf16 rounding
     assert d_exact < d_split < d_x1
     assert fused_conv.tile_h_for(jax.lax.Precision.HIGHEST) == 40
-    assert (fused_conv.tile_h_for(jax.lax.Precision.DEFAULT)
-            == fused_conv.tile_h_for(fused_conv.BF16X1)
-            == fused_conv.BF16_TH)
+    assert fused_conv.tile_h_for(jax.lax.Precision.DEFAULT) == \
+        fused_conv.BF16_TH
+    # the packed-im2col default frees VMEM for the taller bf16x1 tile
+    assert fused_conv.tile_h_for(fused_conv.BF16X1) == fused_conv.BF16X1_TH
 
 
 def test_resolve_pallas_auto():
@@ -91,3 +92,40 @@ def test_pipeline_pallas_path_matches(params):
     b = upscale(img, 2.0, SRCNNConfig(use_pallas=True))
     d = np.abs(a.astype(int) - b.astype(int))
     assert d.max() <= 1
+
+
+def test_packed_im2col_matches_unpacked(params):
+    """The i32-packed bf16 tap-pair im2col (the bf16x1 default) feeds the
+    GEMM the SAME bf16 operands as the unpacked formulation: the pack
+    rounds with the RTNE integer identity (== XLA's f32->bf16 convert,
+    verified bit-level in isolation).  The conv1 contraction length grows
+    81 -> 82 (one zero row pads the odd tap count), which may regroup the
+    f32 accumulation on some backends -- so equality is to f32
+    accumulation-order tolerance (~1 ulp of the [0,255]-domain outputs),
+    NOT bitwise.  Within one configuration the kernel is deterministic,
+    which is what the multi-path bit-identity tests rely on."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libsrcnn_tpu.kernels import fused_conv
+
+    y = np.random.default_rng(9).uniform(0, 255, (70, 150)).astype(np.float32)
+    a = fused_conv.forward_y(params, jnp.asarray(y),
+                             precision=fused_conv.BF16X1,
+                             tile_h=24, pack_im2col=False)
+    b = fused_conv.forward_y(params, jnp.asarray(y),
+                             precision=fused_conv.BF16X1,
+                             tile_h=24, pack_im2col=True)
+    assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) <= 0.01
+
+
+def test_packed_im2col_rejected_off_tier(params):
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from libsrcnn_tpu.kernels import fused_conv
+
+    y = jnp.zeros((32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="bf16x1"):
+        fused_conv.forward_y(params, y, pack_im2col=True)

@@ -95,8 +95,10 @@ def main(argv=None) -> int:
     params = srcnn_generic.init_params(jax.random.key(args.seed), spec)
     # no residual path in this family: warm up the lr, then cosine-decay
     # (plain SRCNN trains slower than VDSR -- the identity must be learned)
+    warmup = min(200, max(1, args.steps // 10))
     schedule = optax.warmup_cosine_decay_schedule(
-        0.0, args.lr, warmup_steps=200, decay_steps=args.steps,
+        0.0, args.lr, warmup_steps=warmup,
+        decay_steps=max(args.steps, warmup + 1),
         end_value=args.lr * 0.02)
     t = trainer.Trainer(params=params,
                         forward=srcnn_generic.make_loss_forward(spec))
