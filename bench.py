@@ -21,7 +21,7 @@ one JSON line:
   (split-bf16x2: exact activations, two passes), both in PERF.md.
 * ``exact_mp_per_sec`` is the EXACT tier (multi-pass f32 GEMMs), the
   library default, which the golden gate holds to <=1 u8 LSB against the
-  reference binary on 23 configs; it is precision-algorithm-bound at
+  reference binary on 29 configs; it is precision-algorithm-bound at
   ~49% MXU (3 passes mandated -- PERF.md roofline).
 
 Measurement notes for the axon-tunneled chip: a device->host sync costs a

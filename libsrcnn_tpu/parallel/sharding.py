@@ -32,13 +32,20 @@ from .. import pipeline
 @functools.lru_cache(maxsize=64)
 def _batch_fn(h, w, d, dst_h, dst_w, filter_type, use_pallas, mesh,
               model="srcnn", spec=None, compute_dtype="float32",
-              lane_pack=False):
+              lane_pack=False, ensemble=False):
     body = functools.partial(
         pipeline._single_pass, dst_h=dst_h, dst_w=dst_w,
         filter_type=filter_type, use_pallas=use_pallas,
         compute_dtype=compute_dtype, model=model, fsrcnn_spec=spec,
         lane_pack=lane_pack,
     )
+    if ensemble:
+        # flip self-ensemble per frame, inside the per-device shard: the
+        # same vmapped 4-variant body as serve._ensemble_pass(batched=True),
+        # so the sharded batch stays bit-identical to the unsharded one
+        from .. import serve
+
+        body = functools.partial(serve._ensemble_body, body=body)
     vbody = jax.vmap(body, in_axes=(0, None))
     # shard_map, not GSPMD annotations: each device runs the full per-frame
     # pipeline on its local batch shard (zero communication), which keeps
@@ -57,12 +64,10 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
     """Upscale a [N, H, W, D] u8 batch, N sharded over the ``data`` axis.
 
     Returns (out [N,H',W',D] u8, conv [N,H',W'] u8).  N must divide by the
-    data-axis size.
+    data-axis size.  ``self_ensemble=True`` runs the vmapped 4-variant
+    flip ensemble per frame inside each device's shard (bit-identical to
+    the per-frame api ensemble).
     """
-    if cfg.self_ensemble:
-        raise ValueError("self_ensemble is not implemented for the "
-                         "GSPMD batch path; use serve.upscale_frames "
-                         "without a mesh (it batches the flip variants)")
     if cfg.step_scale:
         raise ValueError(
             "step_scale is not supported by the GSPMD batch path (it runs "
@@ -79,7 +84,8 @@ def upscale_batch(images, params, multiply: float, cfg: SRCNNConfig, mesh: Mesh)
     fn = _batch_fn(h, w, d, dst_h, dst_w, int(cfg.filter),
                    pipeline.resolve_pallas(cfg.use_pallas), mesh,
                    cfg.model, spec, cfg.compute_dtype,
-                   pipeline.resolve_lane_pack(cfg.lane_pack, cfg.model))
+                   pipeline.resolve_lane_pack(cfg.lane_pack, cfg.model),
+                   cfg.self_ensemble)
     return fn(images, params)
 
 

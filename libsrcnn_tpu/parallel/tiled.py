@@ -181,15 +181,17 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
     ``lane_pack=False``).  The LR families (fsrcnn/espcn) go multi-chip
     through :func:`..parallel.sharding.upscale_spatial` (GSPMD inserts
     their halo collectives) or ``upscale_batch``.
+
+    ``self_ensemble=True`` composes the flip ensemble over four tiled
+    passes (:func:`_tiled_ensemble`), bitwise equal to the api-level
+    ensemble; returns numpy arrays in that case.
     """
     from ..ops.resize import scaled_size
     from .. import pipeline as _pipeline
     from ..pipeline import resolve_pallas
 
     if cfg.self_ensemble:
-        raise ValueError("self_ensemble is not implemented for the tiled "
-                         "path; ensemble per frame via api.upscale, or "
-                         "out-of-core via upscale_chunked")
+        return _tiled_ensemble(image, params, multiply, cfg, mesh)
     if cfg.step_scale:
         raise ValueError(
             "step_scale is not supported by the tiled path (it runs one "
@@ -260,3 +262,31 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
         interpret=jax.default_backend() == "cpu", mesh=mesh,
         precision=precision, model=cfg.model, spec=spec,
         model_halo=model_halo)
+
+
+def _tiled_ensemble(image, params, multiply: float, cfg: SRCNNConfig,
+                    mesh: Mesh):
+    """Flip self-ensemble over the tiled path: four plain tiled passes on
+    the flip variants, unflipped and mean-reduced host-side exactly as
+    serve._ensemble_body does (f32 mean of the four u8 outputs,
+    round-half-even) -- so the result is bitwise the api-level ensemble
+    wherever the per-variant tiled pass is bit-identical to the api
+    (i.e. everywhere the plain tiled invariant holds).  Returns numpy
+    arrays.
+    """
+    import dataclasses
+
+    base = dataclasses.replace(cfg, self_ensemble=False)
+    image = np.asarray(image)
+    acc_o = acc_c = None
+    for fy, fx in ((False, False), (False, True), (True, False),
+                   (True, True)):
+        v = np.ascontiguousarray(image[::-1 if fy else 1,
+                                       ::-1 if fx else 1])
+        out, conv = upscale_tiled(v, params, multiply, base, mesh)
+        o = np.asarray(out)[::-1 if fy else 1, ::-1 if fx else 1]
+        c = np.asarray(conv)[::-1 if fy else 1, ::-1 if fx else 1]
+        acc_o = o.astype(np.float32) if acc_o is None else acc_o + o
+        acc_c = c.astype(np.float32) if acc_c is None else acc_c + c
+    return (np.rint(acc_o / 4.0).astype(np.uint8),
+            np.rint(acc_c / 4.0).astype(np.uint8))

@@ -185,3 +185,26 @@ def test_default_mesh_shapes():
 def test_make_mesh_validates():
     with pytest.raises(ValueError):
         make_mesh({"data": 3, "row": 3}, jax.devices()[:8])
+
+
+def test_upscale_batch_self_ensemble_matches_api():
+    """The dp-sharded batch path honors self_ensemble directly: each
+    device runs the vmapped 4-variant ensemble body on its frame shard,
+    bit-identical to the per-frame api ensemble."""
+    import jax
+    import numpy as np
+
+    from libsrcnn_tpu import SRCNNConfig, upscale
+    from libsrcnn_tpu.models import srcnn
+    from libsrcnn_tpu.parallel import sharding
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    cfg = SRCNNConfig(self_ensemble=True, use_pallas=False)
+    frames = np.random.default_rng(21).integers(
+        0, 256, (4, 14, 12, 3), np.uint8)
+    ref = np.stack([upscale(f, 2.0, cfg) for f in frames])
+    mesh = make_mesh({"data": 4, "row": 1, "col": 1}, jax.devices()[:4])
+    out, conv = sharding.upscale_batch(jax.numpy.asarray(frames),
+                                       srcnn.load_params(), 2.0, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    assert np.asarray(conv).shape == (4, 28, 24)

@@ -166,3 +166,20 @@ def test_tiled_bf16_tiers_bitexact_vs_single_chip(params, img, dtype):
     tout, tconv = upscale_tiled(img, params, 2.0, cfg, mesh)
     np.testing.assert_array_equal(np.asarray(tout), np.asarray(single))
     np.testing.assert_array_equal(np.asarray(tconv), np.asarray(sconv))
+
+
+@pytest.mark.parametrize("model", ["srcnn", "vdsr"])
+def test_tiled_ensemble_matches_api(img, model):
+    """self_ensemble over the tiled path: four flip-variant passes,
+    unflip + u8 f32-mean exactly as the api-level ensemble -- bitwise
+    equal wherever the plain tiled invariant holds."""
+    from libsrcnn_tpu import pipeline
+
+    cfg = SRCNNConfig(model=model, lane_pack=False, use_pallas=False,
+                      self_ensemble=True)
+    params = pipeline.load_model_params(cfg, 2.0)
+    ref, refc = upscale(img, 2.0, cfg, params=params, return_conv_map=True)
+    mesh = make_mesh({"data": 1, "row": 2, "col": 2}, jax.devices()[:4])
+    out, conv = upscale_tiled(img, params, 2.0, cfg, mesh)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(conv, refc)
