@@ -117,18 +117,120 @@ def _atoms(params, d, dst_h, dst_w, y_filter, c_filter, n_chroma):
     return [a_resize, a_conv1, a_conv2, a_conv3]
 
 
+def _atoms_vdsr(params, spec, d, dst_h, dst_w, y_filter, c_filter,
+                n_chroma):
+    """Atomic stages for the vdsr stack: [resize, in, mid x (depth-2),
+    out+residual+merge] -- depth+1 atoms in total, each mapping a packed
+    [C, H', W'] state to itself.  Layout: channels [0:ch) live
+    activation, channel ch the CARRIED interpolated y (the residual
+    identity path must survive to the last stage), tail the chroma
+    planes.  C = ch + 1 + n_chroma; the final packed frame (d+1 planes)
+    fits because ch >= d + 1 for every shipped spec."""
+    from ..models.vdsr import _conv_same
+
+    ch = spec.ch
+    C = ch + 1 + n_chroma
+    if C < d + 1 + n_chroma:
+        raise ValueError(f"vdsr ch={ch} too narrow to carry the output")
+
+    def pack(act, carry, chroma):
+        fill = C - act.shape[0] - 1 - n_chroma
+        parts = [act.astype(jnp.float32)]
+        if fill:
+            parts.append(jnp.zeros((fill, dst_h, dst_w), jnp.float32))
+        parts.append(carry[None])
+        if n_chroma:
+            parts.append(chroma)
+        return jnp.concatenate(parts, axis=0)
+
+    def carry_of(state):
+        return state[C - 1 - n_chroma]
+
+    def chroma_of(state):
+        return state[C - n_chroma:] if n_chroma else state[:0]
+
+    def conv(x_chw, w, b, relu=True):
+        h = _conv_same(x_chw.transpose(1, 2, 0)[None], w) + b
+        h = jnp.maximum(h, 0.0) if relu else h
+        return h[0].transpose(2, 0, 1)
+
+    def a_resize(state, frame):
+        planes = color.rgb_to_ycbcr(frame)
+        y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
+        rest = [resize.resize_plane(planes[c], dst_h, dst_w, c_filter)
+                for c in range(1, d)]
+        chroma = jnp.stack(rest) if rest else None
+        return pack(y_r[None], y_r, chroma)
+
+    def a_in(state, frame):
+        h = conv(state[:1], params["in_w"], params["in_b"])
+        return pack(h, carry_of(state), chroma_of(state))
+
+    def a_mid(l):
+        def atom(state, frame):
+            h = conv(state[:ch], params["mid_w"][l], params["mid_b"][l])
+            return pack(h, carry_of(state), chroma_of(state))
+
+        return atom
+
+    def a_out(state, frame):
+        res = conv(state[:ch], params["out_w"], params["out_b"],
+                   relu=False)[0]
+        y_sr = jnp.clip(carry_of(state).astype(jnp.float32)
+                        + res.astype(jnp.float32), 0.0, 255.0)
+        merged = jnp.concatenate([y_sr[None], chroma_of(state)], axis=0)
+        out_u8 = color.ycbcr_to_rgb(merged)
+        conv_u8 = jnp.floor(y_sr)
+        return pack(
+            jnp.concatenate(
+                [out_u8.transpose(2, 0, 1).astype(jnp.float32),
+                 conv_u8[None]]),
+            carry_of(state), chroma_of(state))
+
+    return ([a_resize, a_in]
+            + [a_mid(l) for l in range(spec.depth - 2)]
+            + [a_out])
+
+
+def _balanced_groups(n_atoms: int, n_stages: int):
+    """Contiguous split of atom indices into n_stages non-empty groups,
+    conv work balanced: atom 0 (resize) is cheap, so it rides with the
+    first conv group; the remaining n_atoms-1 convs split evenly."""
+    convs = n_atoms - 1
+    base, extra = divmod(convs, n_stages)
+    groups, k = [], 1
+    for s in range(n_stages):
+        take = base + (1 if s < extra else 0)
+        g = tuple(range(k, k + take))
+        if s == 0:
+            g = (0,) + g
+        groups.append(g)
+        k += take
+    return tuple(groups)
+
+
 @functools.lru_cache(maxsize=32)
-def _pipelined_fn(n, h, w, d, dst_h, dst_w, filter_type, mesh, axis):
+def _pipelined_fn(n, h, w, d, dst_h, dst_w, filter_type, mesh, axis,
+                  model="srcnn", spec=None):
     n_stages = mesh.shape[axis]
-    groups = _GROUPINGS[n_stages]
     y_filter = FilterType(filter_type)
     c_filter = chroma_filter(y_filter)
     n_chroma = d - 1
-    C = 64 + n_chroma
+    if model == "vdsr":
+        groups = _balanced_groups(spec.depth + 1, n_stages)
+        C = spec.ch + 1 + n_chroma
+    else:
+        groups = _GROUPINGS[n_stages]
+        C = 64 + n_chroma
     steps = n + n_stages - 1
 
     def run(frames, params):  # frames [N,H,W,D] u8, replicated
-        atoms = _atoms(params, d, dst_h, dst_w, y_filter, c_filter, n_chroma)
+        if model == "vdsr":
+            atoms = _atoms_vdsr(params, spec, d, dst_h, dst_w, y_filter,
+                                c_filter, n_chroma)
+        else:
+            atoms = _atoms(params, d, dst_h, dst_w, y_filter, c_filter,
+                           n_chroma)
         branches = [
             (lambda state, frame, g=g: functools.reduce(
                 lambda s, a: atoms[a](s, frame), g, state))
@@ -188,10 +290,13 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
       frames: [N, H, W, D] u8 frames (same geometry).
       params: SRCNN params pytree (``pipeline.load_model_params``).
       multiply: scale factor (same semantics as :func:`libsrcnn_tpu.upscale`).
-      cfg: model must be ``"srcnn"`` -- the LR families' learned-upscale
-        heads are single fused stages with nothing to pipeline; use
+      cfg: model ``"srcnn"`` (4 atoms, 2..4 stages) or ``"vdsr"`` (the
+        deep homogeneous stack -- depth+1 atoms, any 2..depth+1 stages,
+        residual identity carried through the chain in a reserved state
+        channel).  The LR families' learned-upscale heads are single
+        fused stages with nothing to pipeline; use
         ``sharding.upscale_batch`` for them.
-      mesh: mesh whose ``axis`` axis has 2..4 devices.
+      mesh: mesh whose ``axis`` axis carries the stages.
 
     Returns:
       ([N, H', W', D] u8 frames, [N, H', W'] u8 conv maps), bit-identical
@@ -208,15 +313,21 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
             "round trips would break bit-identity with api.upscale) -- "
             "chain upscale_pipelined calls per x2 pass instead")
     n_stages = mesh.shape[axis]
-    if n_stages not in _GROUPINGS:
+    if cfg.model == "srcnn":
+        if n_stages not in _GROUPINGS:
+            raise ValueError(
+                f"pipeline depth {n_stages} unsupported (axis {axis!r}); "
+                f"use {sorted(_GROUPINGS)} stages for srcnn")
+    elif cfg.model == "vdsr":
+        # the deep homogeneous stack is the NATURAL pipelining case:
+        # depth+1 atoms split contiguously, any 2..depth+1 stages
+        if not 2 <= n_stages:
+            raise ValueError(f"need >= 2 stages, got {n_stages}")
+    else:
         raise ValueError(
-            f"pipeline depth {n_stages} unsupported (axis {axis!r}); "
-            f"use {sorted(_GROUPINGS)} stages")
-    if cfg.model != "srcnn":
-        raise ValueError(
-            "pipeline-stage parallelism applies to the srcnn stack only; "
-            f"model {cfg.model!r} has a fused learned-upscale head "
-            "(use sharding.upscale_batch)")
+            "pipeline-stage parallelism applies to the srcnn and vdsr "
+            f"stacks; model {cfg.model!r} has a fused learned-upscale "
+            "head (use sharding.upscale_batch)")
     if cfg.compute_dtype != "float32":
         raise ValueError(
             "the stage-pipelined path runs exact f32 only (its atoms "
@@ -225,7 +336,11 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
             "api.upscale or sharding.upscale_batch for the other tiers")
     n, h, w, d = frames.shape
     dst_w, dst_h = resize.scaled_size(w, h, multiply)
-    params, _ = pipeline.prepare_model_params(cfg, params, h, w,
-                                              dst_h, dst_w, multiply)
-    fn = _pipelined_fn(n, h, w, d, dst_h, dst_w, int(cfg.filter), mesh, axis)
+    params, spec = pipeline.prepare_model_params(cfg, params, h, w,
+                                                 dst_h, dst_w, multiply)
+    if cfg.model == "vdsr" and n_stages > spec.depth + 1:
+        raise ValueError(
+            f"{n_stages} stages exceed the {spec.depth + 1} vdsr atoms")
+    fn = _pipelined_fn(n, h, w, d, dst_h, dst_w, int(cfg.filter), mesh,
+                       axis, cfg.model, spec)
     return fn(jnp.asarray(frames), params)
