@@ -120,6 +120,12 @@ def main(argv=None) -> int:
             if mean_sr > best[0]:
                 best = (mean_sr, jax.tree.map(np.asarray, t.params), step)
                 mark = " *"
+                np.savez(args.out + ".part", **best[1],
+                         meta_f1=np.int32(spec.f1), meta_n1=np.int32(spec.n1),
+                         meta_f2=np.int32(spec.f2), meta_n2=np.int32(spec.n2),
+                         meta_f3=np.int32(spec.f3),
+                         meta_step=np.int32(step),
+                         meta_val_psnr=np.float32(mean_sr))
             detail = "  ".join(
                 f"x{s} {v[0]:.2f}({v[0] - v[1]:+.2f})"
                 for s, v in zip(SCALES, vals))

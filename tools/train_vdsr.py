@@ -38,7 +38,7 @@ SCALES = (2, 3, 4)
 
 
 def build_pair_pool(images, n_patches: int, patch: int, seed: int = 0,
-                    content_scales: tuple = ()):
+                    content_scales: tuple = (), base_frac: float = 0.0):
     """(interp [N,p,p], hr [N,p,p]) with the x2/x3/x4 degradations mixed.
 
     ``patch`` must be divisible by every scale (lcm 12) so the LR sizes
@@ -57,11 +57,11 @@ def build_pair_pool(images, n_patches: int, patch: int, seed: int = 0,
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         return _build_pair_pool_on(images, n_patches, patch, seed,
-                                   content_scales)
+                                   content_scales, base_frac)
 
 
 def _build_pair_pool_on(images, n_patches: int, patch: int, seed: int,
-                        content_scales: tuple):
+                        content_scales: tuple, base_frac: float = 0.0):
     import jax
     import jax.numpy as jnp
 
@@ -69,7 +69,8 @@ def _build_pair_pool_on(images, n_patches: int, patch: int, seed: int,
     from libsrcnn_tpu.ops import color, resize
 
     planes = []
-    for img in images:
+    n_base_planes = 0
+    for i, img in enumerate(images):
         y = np.asarray(color.rgb_to_ycbcr(jnp.asarray(img))[0])
         # optional multi-scale CONTENT augmentation (VDSR paper trains on
         # multiple scales of each image): downscaled copies contribute
@@ -89,11 +90,20 @@ def _build_pair_pool_on(images, n_patches: int, patch: int, seed: int,
                 jnp.asarray(y), vh, vw, FilterType.BICUBIC)))
         for v in versions:
             planes.extend(dihedral_variants(v))
+        if i < 3:   # tools/corpus.py lists the base photos first
+            n_base_planes = len(planes)
 
     rng = np.random.default_rng(seed)
     hr = np.empty((n_patches, patch, patch), np.float32)
     for i in range(n_patches):
-        y = planes[rng.integers(len(planes))]
+        # base_frac > 0: draw that fraction of patches from the base
+        # photos regardless of the texture set's pixel majority (the
+        # held-out validation is a natural photo; an unweighted draw from
+        # an extended corpus is 95% textures)
+        if base_frac > 0.0 and rng.random() < base_frac:
+            y = planes[rng.integers(n_base_planes)]
+        else:
+            y = planes[rng.integers(len(planes))]
         r = rng.integers(y.shape[0] - patch + 1)
         c = rng.integers(y.shape[1] - patch + 1)
         hr[i] = y[r:r + patch, c:c + patch]
@@ -156,6 +166,9 @@ def main(argv=None) -> int:
                     default="extended",
                     help="base = round-3 3-photo corpus; extended adds "
                          "the curated in-container textures (tools/corpus.py)")
+    ap.add_argument("--base-frac", type=float, default=0.0,
+                    help="fraction of patches forced to the base photos "
+                         "(0 = uniform over all planes)")
     ap.add_argument("--lane-pack", type=int, default=0,
                     help="train through the MXU-lane-packed formulation "
                          "(ops/packed_conv.py; 0 = direct convs; 4 = "
@@ -175,7 +188,8 @@ def main(argv=None) -> int:
           f"model {spec.name}", flush=True)
     cscales = tuple(float(f) for f in args.content_scales.split(",") if f)
     interp_pool, hr_pool = build_pair_pool(images, args.pool, args.patch,
-                                           args.seed, cscales)
+                                           args.seed, cscales,
+                                           args.base_frac)
     print(f"pool: {args.pool} same-size pairs {args.patch}^2, "
           f"scales {SCALES} mixed", flush=True)
 
@@ -205,6 +219,14 @@ def main(argv=None) -> int:
             if mean_sr > best[0]:
                 best = (mean_sr, jax.tree.map(np.asarray, t.params), step)
                 mark = " *"
+                # persist the best-so-far immediately: training runs
+                # through a relay that can hang; a dead run must still
+                # leave its best checkpoint on disk
+                np.savez(args.out + ".part", **best[1],
+                         meta_depth=np.int32(spec.depth),
+                         meta_ch=np.int32(spec.ch),
+                         meta_step=np.int32(step),
+                         meta_val_psnr=np.float32(mean_sr))
             detail = "  ".join(
                 f"x{s} {v[0]:.2f}({v[0] - v[1]:+.2f})"
                 for s, v in zip(SCALES, vals))
