@@ -72,6 +72,11 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--corpus", choices=("base", "extended"),
                     default="extended")
+    ap.add_argument("--base-frac", type=float, default=0.5,
+                    help="fraction of patches forced to the base photos "
+                         "(the held-out validation is a natural photo; "
+                         "uniform draw from the extended corpus is 95% "
+                         "textures and floods the gradient signal)")
     ap.add_argument("--out", default=os.path.abspath(WEIGHTS_OUT))
     args = ap.parse_args(argv)
 
@@ -88,7 +93,8 @@ def main(argv=None) -> int:
           f"butterfly held out; model {spec.name} "
           f"({spec.param_count()} params)", flush=True)
     interp_pool, hr_pool = build_pair_pool(images, args.pool, args.patch,
-                                           args.seed)
+                                           args.seed,
+                                           base_frac=args.base_frac)
     print(f"pool: {args.pool} same-size pairs {args.patch}^2, "
           f"scales {SCALES} mixed", flush=True)
 
