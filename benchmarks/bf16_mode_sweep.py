@@ -62,6 +62,10 @@ def main() -> None:
         # formulation that halves the tap-store traffic WITHOUT sub-word
         # stores (full 32-bit words; bitcast unpacks before the GEMM)
         "bf16x1pk": (fused_conv.BF16X1, True),
+        # hi/lo-packed split (round 4): each tap's hi/lo bf16 halves in
+        # one i32 word -- the decomposition runs once on the window, and
+        # conv1 is ONE 162-row GEMM instead of two 81-row passes
+        "splitpk": (jax.lax.Precision.DEFAULT, True),
     }
     fns = {}
     for mode, (prec, pk) in modes.items():

@@ -181,7 +181,7 @@ def _conv3_roll_reduce(g, th: int):
 
 def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
             win_ref, out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
-            gh: int, gw: int, precision=None, pack: bool = False):
+            gh: int, gw: int, precision=None, pack: str | None = None):
     i = pl.program_id(0)
     j = pl.program_id(1)
     ch = th + 4
@@ -191,7 +191,7 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
     shift = j * TW - (j * TW) // 128 * 128
     ext = pltpu.roll(ext, (EW - shift) % EW, axis=2)
 
-    if pack:
+    if pack == "pair":
         # --- packed im2col (bf16x1 mode): bf16 tap PAIRS in i32 words ---
         # Halves the im2col scratch traffic without 16-bit stores: two
         # bf16-rounded taps ride one full 32-bit word (no packed-sublane
@@ -218,6 +218,33 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
                 word = lo
             q_scr[:, k // 2:k // 2 + 1, :] = word
         q = pltpu.bitcast(q_scr[:], jnp.bfloat16)  # [ch, 82, CW]
+        h1 = jax.lax.dot_general(q, w1_ref[:], (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
+    elif pack == "hilo":
+        # --- packed im2col (split tier): each tap's hi/lo bf16 HALVES in
+        # one i32 word (hi = bf16(x) in the low half, lo = bf16(x - hi)
+        # in the high half).  Same scratch bytes as the f32 scratch, but
+        # the hi/lo decomposition runs ONCE on the [rb, EW] window
+        # instead of twice over the 81x-redundant scratch inside _dot
+        # (two bulk casts + a subtract on [ch, 81, CW] -- the split
+        # tier's hidden VPU term), and conv1 contracts the interleaved
+        # [ch, 162, CW] operand against row-duplicated weights in ONE
+        # MXU pass instead of two.  hi + lo still reconstructs the f32
+        # activation to ~2^-16 relative; only the f32 accumulation
+        # ORDER differs from the two-pass _dot (<= 1 ulp), and the
+        # kernel stays deterministic within a configuration.
+        bits = pltpu.bitcast(ext, jnp.int32)
+        hi16 = ((bits + 0x7FFF + ((bits >> 16) & 1)) >> 16) & 0xFFFF
+        lo_f = ext - pltpu.bitcast(hi16 << 16, jnp.float32)
+        lbits = pltpu.bitcast(lo_f, jnp.int32)
+        lo16 = ((lbits + 0x7FFF + ((lbits >> 16) & 1)) >> 16) & 0xFFFF
+        b32 = hi16 | (lo16 << 16)
+        for dy in range(9):
+            for dx in range(9):
+                k = dy * 9 + dx
+                q_scr[:, k:k + 1, :] = b32[dy:dy + ch, :, dx:dx + CW]
+        q = pltpu.bitcast(q_scr[:], jnp.bfloat16)  # [ch, 162, CW]
         h1 = jax.lax.dot_general(q, w1_ref[:], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
@@ -386,8 +413,9 @@ def _launch(body, params, yext, flags, *, h, w, gh, gw, hp, rb, th,
             scratch_dtype, interpret, scratch_taps: int = 81):
     """Shared pallas_call plumbing: grid/BlockSpecs (params in VMEM, edge
     flags in SMEM, Element-granular input windows), the im2col scratch in
-    the variant's dtype (``scratch_taps`` sublanes: 81 tap rows, or 41
-    packed pair-words), and the junk-column-dropping reshape epilogue
+    the variant's dtype (``scratch_taps`` sublanes: 81 tap rows / hi-lo
+    words, or 41 packed pair-words), and the junk-column-dropping reshape
+    epilogue
     (blocks land in final row order, so no transpose)."""
     out4 = pl.pallas_call(
         body,
@@ -462,6 +490,11 @@ def forward_y_int8(qparams: dict, y: jnp.ndarray, *,
 #: on-chip; benchmarks/bf16_mode_sweep.py A/Bs it via pack_im2col)
 PACK_IM2COL_DEFAULT = True
 
+#: auto-select the hi/lo-packed im2col for the split tier -- OFF until the
+#: on-chip A/B (benchmarks/bf16_mode_sweep.py --split-pack) shows a win;
+#: opt in per call via forward_y(pack_im2col=True, precision=DEFAULT)
+PACK_IM2COL_SPLIT_DEFAULT = False
+
 
 @functools.partial(jax.jit,
                    static_argnames=("th", "interpret", "precision",
@@ -487,23 +520,31 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
     (h, w, gh, gw, hp, rb, yext, a_hi, s_hi,
      flags) = _plane_setup(y, edge_flags, th, pad_mode, full_shape)
     if pack_im2col is None:
-        pack_im2col = PACK_IM2COL_DEFAULT and precision == BF16X1
-    if pack_im2col and precision != BF16X1:
-        raise ValueError("pack_im2col is the bf16x1 tier's im2col "
-                         "formulation (bf16 taps; exact/split tiers need "
-                         "the f32 scratch)")
+        pack_im2col = ((PACK_IM2COL_DEFAULT and precision == BF16X1)
+                       or (PACK_IM2COL_SPLIT_DEFAULT
+                           and precision == jax.lax.Precision.DEFAULT))
+    if pack_im2col and precision == jax.lax.Precision.HIGHEST:
+        raise ValueError("pack_im2col packs bf16 taps; the exact tier "
+                         "needs the f32 scratch")
+    pack = None
     if pack_im2col:
+        pack = "pair" if precision == BF16X1 else "hilo"
+    if pack == "pair":
         # one zero row pads the odd tap count to 41 pair-words; the GEMM
         # contracts 82 bf16 sublanes against these 82 rows
         w1 = jnp.concatenate(
             [w1, jnp.zeros((1, w1.shape[1]), w1.dtype)]).astype(jnp.bfloat16)
+    elif pack == "hilo":
+        # hi and lo halves of tap k land at sublanes 2k / 2k+1 and both
+        # multiply the same weight row -> duplicate rows to [162, 64]
+        w1 = jnp.repeat(w1.astype(jnp.bfloat16), 2, axis=0)
     body = functools.partial(_kernel, th=th, a_hi=a_hi, s_hi=s_hi,
                              gh=gh, gw=gw, precision=precision,
-                             pack=pack_im2col)
+                             pack=pack)
     return _launch(body, (w1, b1, w2, b2, w3, b3), yext, flags, h=h, w=w,
                    gh=gh, gw=gw, hp=hp, rb=rb, th=th,
-                   scratch_dtype=jnp.int32 if pack_im2col else jnp.float32,
-                   scratch_taps=41 if pack_im2col else 81,
+                   scratch_dtype=jnp.int32 if pack else jnp.float32,
+                   scratch_taps=41 if pack == "pair" else 81,
                    interpret=interpret)
 
 

@@ -121,11 +121,33 @@ def test_packed_im2col_matches_unpacked(params):
 
 def test_packed_im2col_rejected_off_tier(params):
     import jax.numpy as jnp
-    import numpy as np
     import pytest
 
     from libsrcnn_tpu.kernels import fused_conv
 
     y = jnp.zeros((32, 32), jnp.float32)
-    with pytest.raises(ValueError, match="bf16x1"):
+    # the exact tier needs the f32 scratch (bf16 taps would break the
+    # ≤1-LSB gate); bf16x1 and split have packed formulations
+    with pytest.raises(ValueError, match="f32 scratch"):
         fused_conv.forward_y(params, y, pack_im2col=True)
+
+
+def test_split_hilo_pack_matches_two_pass(params):
+    """The hi/lo-packed split im2col feeds conv1 the same hi+lo bf16
+    decomposition as the two-pass _dot; only the f32 accumulation order
+    differs (one interleaved 162-row contraction vs two 81-row passes),
+    so equality is to accumulation-order tolerance, not bitwise."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libsrcnn_tpu.kernels import fused_conv
+
+    y = np.random.default_rng(9).uniform(0, 255, (70, 150)).astype(np.float32)
+    a = fused_conv.forward_y(params, jnp.asarray(y),
+                             precision=jax.lax.Precision.DEFAULT,
+                             tile_h=24, pack_im2col=False)
+    b = fused_conv.forward_y(params, jnp.asarray(y),
+                             precision=jax.lax.Precision.DEFAULT,
+                             tile_h=24, pack_im2col=True)
+    assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) <= 0.01

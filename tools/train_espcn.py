@@ -61,6 +61,10 @@ def main(argv=None) -> int:
                     default="extended",
                     help="base = round-3 3-photo corpus; extended adds "
                          "the curated in-container textures (tools/corpus.py)")
+    ap.add_argument("--base-frac", type=float, default=0.5,
+                    help="fraction of patches forced to the base photos "
+                         "(0 = uniform over all planes; ignored for "
+                         "--corpus=base)")
     ap.add_argument("--scale", type=int, default=2,
                     help="upscale factor (weights file is per-scale)")
     ap.add_argument("--out", default=None,
@@ -82,8 +86,10 @@ def main(argv=None) -> int:
     print(f"corpus: {len(images)} images "
           f"({sum(i.shape[0] * i.shape[1] for i in images) / 1e6:.2f} MP), "
           f"butterfly held out")
+    base_frac = args.base_frac if args.corpus == "extended" else 0.0
     lr_pool, hr_pool = shared.build_patch_pool(images, args.pool, args.patch,
-                                               spec.scale, args.seed)
+                                               spec.scale, args.seed,
+                                               base_frac)
     print(f"pool: {args.pool} patches {args.patch}->{args.patch * spec.scale}")
 
     params = espcn.init_params(jax.random.key(args.seed), spec)

@@ -53,17 +53,19 @@ def dihedral_variants(y: np.ndarray) -> list[np.ndarray]:
 
 
 def build_patch_pool(images, n_patches: int, patch: int, scale: int,
-                     seed: int = 0):
+                     seed: int = 0, base_frac: float = 0.0):
     """Pre-generate (lr [N,p,p], hr [N,s*p,s*p]) with batched downscale."""
     import jax
 
     # one-time host work: keep the pool resizes off the TPU relay (each
     # distinct shape is a 10-40 s remote compile; CPU does it in ms)
     with jax.default_device(jax.devices("cpu")[0]):
-        return _build_patch_pool_on(images, n_patches, patch, scale, seed)
+        return _build_patch_pool_on(images, n_patches, patch, scale, seed,
+                                    base_frac)
 
 
-def _build_patch_pool_on(images, n_patches, patch, scale, seed):
+def _build_patch_pool_on(images, n_patches, patch, scale, seed,
+                         base_frac=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -71,15 +73,25 @@ def _build_patch_pool_on(images, n_patches, patch, scale, seed):
     from libsrcnn_tpu.ops import color, resize
 
     planes = []
-    for img in images:
+    n_base_planes = 0
+    for i, img in enumerate(images):
         y = np.asarray(color.rgb_to_ycbcr(jnp.asarray(img))[0])
         planes.extend(dihedral_variants(y))
+        if i < 3:   # tools/corpus.py lists the base photos first
+            n_base_planes = len(planes)
 
     rng = np.random.default_rng(seed)
     sp = patch * scale
     hr = np.empty((n_patches, sp, sp), np.float32)
     for i in range(n_patches):
-        y = planes[rng.integers(len(planes))]
+        # base_frac > 0: force that fraction of patches onto the base
+        # photos -- an unweighted draw from the extended corpus is ~95%
+        # textures and floods the natural-photo gradient signal (see
+        # NEXT.md round-4 facts; same knob as tools/train_vdsr.py)
+        if base_frac > 0.0 and rng.random() < base_frac:
+            y = planes[rng.integers(n_base_planes)]
+        else:
+            y = planes[rng.integers(len(planes))]
         r = rng.integers(y.shape[0] - sp + 1)
         c = rng.integers(y.shape[1] - sp + 1)
         hr[i] = y[r:r + sp, c:c + sp]
@@ -131,6 +143,10 @@ def main(argv=None) -> int:
                     default="extended",
                     help="base = round-3 3-photo corpus; extended adds "
                          "the curated in-container textures (tools/corpus.py)")
+    ap.add_argument("--base-frac", type=float, default=0.5,
+                    help="fraction of patches forced to the base photos "
+                         "(0 = uniform over all planes; ignored for "
+                         "--corpus=base)")
     ap.add_argument("--out", default=None,
                     help="output npz (default: shipped fsrcnn_x{scale}.npz)")
     args = ap.parse_args(argv)
@@ -150,8 +166,9 @@ def main(argv=None) -> int:
     print(f"corpus: {len(images)} images "
           f"({sum(i.shape[0] * i.shape[1] for i in images) / 1e6:.2f} MP), "
           f"butterfly held out")
+    base_frac = args.base_frac if args.corpus == "extended" else 0.0
     lr_pool, hr_pool = build_patch_pool(images, args.pool, args.patch,
-                                        spec.scale, args.seed)
+                                        spec.scale, args.seed, base_frac)
     print(f"pool: {args.pool} patches {args.patch}->{args.patch * spec.scale}")
 
     params = fsrcnn.init_params(jax.random.key(args.seed), spec)
