@@ -19,19 +19,28 @@ model's edge semantics are gated by per-band edge flags.  Result:
 bit-identical to :func:`libsrcnn_tpu.api.upscale` at the same compute
 tier.
 
-Two model families, two halo plans -- both DERIVED, not assumed:
+Three model kinds, three halo plans -- all DERIVED, not assumed:
 
 * **srcnn** (9-1-5): 6-px halo (4 conv1 + 2 conv3) and the reference's
   conv2-OUTPUT border replication quirk (`libsrcnn.cpp:463-489`), gated
   by edge flags -- the same mechanism as parallel/halo.py, driven
   sequentially instead of by ppermute.
-* **HR families** (vdsr, per-layer replicate-padded stacks): halo =
-  number of SAME convs (``<family>.halo_width(spec)``); at true image
-  edges the per-layer replicate padding is re-imposed before every conv
-  (``forward_hr_halo``), interior band borders keep real neighbor rows.
-  Direct (non-lane-packed) convs: the packed formulation's reduction
-  order is plane-shape-dependent, so only the direct stack can be
-  bit-identical between a band and the full frame.
+* **HR families** (vdsr/srcnn955, per-layer replicate-padded stacks):
+  halo = stack receptive radius (``<family>.halo_width(spec)``); at true
+  image edges the per-layer replicate padding is re-imposed before every
+  conv (``forward_hr_halo``), interior band borders keep real neighbor
+  rows.  Direct (non-lane-packed) convs: the packed formulation's
+  reduction order is plane-shape-dependent, so only the direct stack can
+  be bit-identical between a band and the full frame.
+* **LR families** (fsrcnn/espcn, zero-pad SAME stacks + learned
+  upscale): bands are cut on whole LR rows, extended by
+  ``<family>.lr_halo_width(spec)`` REAL neighbor LR rows (clamped at
+  true edges), run through the unmodified ``forward_lr``, and the halo's
+  output rows are cropped.  No edge-flag machinery is needed: every kept
+  output row's receptive field either lies inside the slice's real rows
+  or reaches a TRUE image edge -- where the slice border IS the image
+  border, so the stack's own zero padding applies exactly as in the full
+  frame.
 
 One program compiles per band SHAPE (interior bands share one; a ragged
 last band adds one more): the vertical band tables are passed as device
@@ -190,6 +199,82 @@ def _compiled_band(d: int, s_rows: int, src_w: int, bh: int, dst_w: int,
     return jax.jit(body)
 
 
+def _bands_from_edges_lr(edges, halo: int, r: int, src_h: int, gc_idx):
+    """LR-family band plan entries: output band [r0, r1) (both multiples
+    of the scale ``r``), its LR Y window [ys0, ys1) (the band's own LR
+    rows extended by up to ``halo`` REAL neighbor rows, clamped at the
+    true edges -- where the model's own zero padding must apply, exactly
+    as it does in the full frame), the chroma output rows, and the u8
+    source-row window covering both."""
+    bands = []
+    for r0, r1 in zip(edges[:-1], edges[1:]):
+        ys0 = max(0, r0 // r - halo)
+        ys1 = min(src_h, r1 // r + halo)
+        rows_c = np.arange(r0, r1)
+        ic = gc_idx[rows_c]
+        smin = int(min(ys0, ic.min()))
+        smax = int(max(ys1, ic.max() + 1))
+        bands.append((r0, r1, ys0, ys1, rows_c, smin, smax))
+    return bands
+
+
+@functools.lru_cache(maxsize=64)
+def _compiled_band_lr(d: int, s_rows: int, src_w: int, bh: int,
+                      filter_type: int, precision, model: str, spec,
+                      y_len: int, crop_top: int):
+    """One jitted LR-family band program.  The Y slice geometry
+    (``y_len`` LR rows, crop ``crop_top`` LR rows of output off the top)
+    is static; interior bands share one program, the first/last bands
+    (clamped halo) add one each."""
+    from . import pipeline as _pipeline
+
+    mod = _pipeline._lr_family(model)
+    c_filter = chroma_filter(FilterType(filter_type))
+    r = spec.scale
+    dst_w = src_w * r
+
+    def body(band_u8, params, y_idx, vc_idx, vc_w):
+        planes = color.rgb_to_ycbcr(band_u8)      # [D, s_rows, src_w]
+        # REAL LR rows (band + halo); the stack's zero padding applies
+        # only at the slice borders, and every output row kept below has
+        # its full receptive field inside the slice -- or reaches the
+        # TRUE image edge, where the full frame zero-pads identically
+        y_lr = jnp.take(planes[0], y_idx, axis=0)  # [y_len, src_w]
+        sr = mod.forward_lr(params, y_lr, spec, precision=precision,
+                            lane_pack=False)       # [y_len*r, dst_w]
+        y_sr = jax.lax.slice_in_dim(sr, crop_top * r, crop_top * r + bh,
+                                    axis=0)
+        rest = []
+        for c in range(1, d):
+            pb = _apply_band_axis0(planes[c], vc_idx, vc_w)
+            pb = resize._resize_axis(pb, dst_w, c_filter, 1)
+            rest.append(pb)
+        merged = jnp.stack([y_sr, *rest], axis=0)
+        out_u8 = color.ycbcr_to_rgb(merged)
+        conv_u8 = jnp.floor(y_sr).astype(jnp.uint8)
+        return out_u8, conv_u8
+
+    return jax.jit(body)
+
+
+def _dispatch_band_lr(image, band, params, gc_idx, gc_w, s_rows: int,
+                      d: int, src_w: int, cfg: SRCNNConfig, precision,
+                      spec):
+    """LR-family twin of :func:`_dispatch_band`."""
+    r0, r1, ys0, ys1, rows_c, smin, smax = band
+    src = np.ascontiguousarray(image[smin:smax])
+    if src.shape[0] < s_rows:               # equalize the compiled shape
+        src = np.pad(src, ((0, s_rows - src.shape[0]), (0, 0), (0, 0)),
+                     mode="edge")
+    y_idx = jnp.asarray(np.arange(ys0, ys1) - smin, jnp.int32)
+    vc_idx = jnp.asarray(gc_idx[rows_c] - smin, jnp.int32)
+    vc_w = jnp.asarray(gc_w[rows_c])
+    crop_top = r0 // spec.scale - ys0
+    fn = _compiled_band_lr(d, s_rows, src_w, r1 - r0, int(cfg.filter),
+                           precision, cfg.model, spec, ys1 - ys0, crop_top)
+    return fn(jnp.asarray(src), params, y_idx, vc_idx, vc_w)
+
+
 def _cut_ok(r: int, dst_h: int, halo: int, model: str) -> bool:
     """May a band boundary sit at output row ``r``?
 
@@ -272,12 +357,16 @@ def _resolve_chunked(cfg: SRCNNConfig, multiply: float,
         mod = _pipeline._lr_family(cfg.model)
         spec = params.get("__spec__") or mod.default_spec()
         halo = mod.halo_width(spec)
+    elif cfg.model in _pipeline.LR_FAMILIES:
+        # LR-domain stacks: the halo is counted in LR rows and the edge
+        # story is crop-after-halo-extend (see upscale_chunked docstring)
+        precision = _pipeline.family_precision(cfg.compute_dtype)
+        use_pallas = False
+        mod = _pipeline._lr_family(cfg.model)
+        spec = params.get("__spec__") or mod.default_spec()
+        halo = mod.lr_halo_width(spec)
     else:
-        raise ValueError(
-            f"upscale_chunked streams the HR-domain models (srcnn and "
-            f"{_pipeline.HR_FAMILIES}); model={cfg.model!r} runs at low "
-            f"resolution and is served by sharding.upscale_batch / "
-            f"api.upscale")
+        raise ValueError(f"unknown model {cfg.model!r}")
 
     params = jax.device_put(
         {k: v for k, v in params.items() if k != "__spec__"})
@@ -301,12 +390,13 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
     (the fetch is the only blocking call in the loop).  1 = fully
     serial; the default 2 double-buffers.
 
-    Models: srcnn (fused Pallas / XLA, all four tiers) and the HR
-    families (vdsr -- direct XLA convs, float32/bfloat16 tiers, halo
-    derived from the spec; bit-identity is vs the api with
-    ``lane_pack=False``).  The LR families (fsrcnn/espcn) run at low
-    resolution and go through api.upscale / upscale_batch.  No
-    step_scale (chain calls per x2 pass, as with the tiled path);
+    Models: srcnn (fused Pallas / XLA, all four tiers), the HR families
+    (vdsr/srcnn955 -- direct XLA convs, float32/bfloat16 tiers, halo
+    derived from the spec), and the LR families (fsrcnn/espcn -- bands
+    cut on whole LR rows, crop-after-halo-extend, exact-scale contract
+    as everywhere).  For every learned family, bit-identity is vs the
+    api with ``lane_pack=False``.  No step_scale (chain calls per x2
+    pass, as with the tiled path);
     ``self_ensemble=True`` runs the band-wise flip ensemble (4x compute,
     still O(band) memory, bitwise equal to the api-level ensemble).
     """
@@ -327,23 +417,51 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
 
     y_filter = FilterType(cfg.filter)
     c_filter = chroma_filter(y_filter)
-    gy_idx, gy_w = _global_band_tables(y_filter, dst_h, h)
     gc_idx, gc_w = _global_band_tables(c_filter, dst_h, h)
-    cuts, bands = _plan_bands(dst_h, band_rows, halo, cfg.model,
-                              gy_idx, gc_idx)
-    plans = [bands]
-    if cfg.self_ensemble:
-        # flipped geometry: the MIRRORED cuts (valid: both cut rules are
-        # mirror-symmetric), windows recomputed from the same tables
-        m_edges = [0] + [dst_h - c for c in reversed(cuts)] + [dst_h]
-        plans.append(_bands_from_edges(m_edges, halo, dst_h, gy_idx, gc_idx))
-    s_rows = max(smax - smin for plan in plans for *_, smin, smax in plan)
-    interpret = jax.default_backend() == "cpu"
+    from . import pipeline as _pipeline
 
-    def dispatch(img_v, band):
-        return _dispatch_band(img_v, band, params, gy_idx, gy_w, gc_idx,
-                              gc_w, s_rows, dst_h, d, w, dst_w, cfg,
-                              use_pallas, precision, interpret, spec, halo)
+    if cfg.model in _pipeline.LR_FAMILIES:
+        r = spec.scale
+        if (dst_h, dst_w) != (h * r, w * r):
+            raise ValueError(
+                f"{cfg.model} x{r} weights require scale {r} exactly; "
+                f"got {multiply} ({w}x{h} -> {dst_w}x{dst_h})")
+        # band boundaries must sit on whole LR rows (each LR row emits
+        # exactly r output rows through the learned upscale head)
+        br = max(r, band_rows // r * r)
+        cuts = list(range(br, dst_h, br))
+        bands = _bands_from_edges_lr([0] + cuts + [dst_h], halo, r, h,
+                                     gc_idx)
+        plans = [bands]
+        if cfg.self_ensemble:
+            # mirrored cuts stay r-aligned: dst_h = r*h
+            m_edges = [0] + [dst_h - c for c in reversed(cuts)] + [dst_h]
+            plans.append(_bands_from_edges_lr(m_edges, halo, r, h, gc_idx))
+        s_rows = max(smax - smin for plan in plans for *_, smin, smax in plan)
+
+        def dispatch(img_v, band):
+            return _dispatch_band_lr(img_v, band, params, gc_idx, gc_w,
+                                     s_rows, d, w, cfg, precision, spec)
+    else:
+        gy_idx, gy_w = _global_band_tables(y_filter, dst_h, h)
+        cuts, bands = _plan_bands(dst_h, band_rows, halo, cfg.model,
+                                  gy_idx, gc_idx)
+        plans = [bands]
+        if cfg.self_ensemble:
+            # flipped geometry: the MIRRORED cuts (valid: both cut rules
+            # are mirror-symmetric), windows recomputed from the same
+            # tables
+            m_edges = [0] + [dst_h - c for c in reversed(cuts)] + [dst_h]
+            plans.append(_bands_from_edges(m_edges, halo, dst_h, gy_idx,
+                                           gc_idx))
+        s_rows = max(smax - smin for plan in plans for *_, smin, smax in plan)
+        interpret = jax.default_backend() == "cpu"
+
+        def dispatch(img_v, band):
+            return _dispatch_band(img_v, band, params, gy_idx, gy_w,
+                                  gc_idx, gc_w, s_rows, dst_h, d, w, dst_w,
+                                  cfg, use_pallas, precision, interpret,
+                                  spec, halo)
 
     if cfg.self_ensemble:
         return _chunked_ensemble(image, plans[0], plans[1], dispatch,

@@ -122,6 +122,13 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x.reshape(n, h * r, w * r)
 
 
+def lr_halo_width(spec: ESPCNSpec = ESPCNSpec()) -> int:
+    """LR-domain receptive radius: c1 5x5 -> 2, c2/c3 3x3 -> 1 each (the
+    pixel-shuffle head is purely local).  See fsrcnn.lr_halo_width; used
+    by the out-of-core chunked path (libsrcnn_tpu/chunked.py)."""
+    return 4
+
+
 def forward_lr(params: dict, lr_y: jnp.ndarray,
                spec: ESPCNSpec = ESPCNSpec(), *, clamp: bool = True,
                precision=lax.Precision.HIGHEST, lane_pack: bool = False):

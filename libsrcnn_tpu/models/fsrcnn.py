@@ -190,6 +190,18 @@ def _deconv_subpixel(h, w, r: int, precision, lane_pack: bool = False):
     return pixel_shuffle(up, r)[..., None]
 
 
+def lr_halo_width(spec: FSRCNNSpec = FSRCNNSpec()) -> int:
+    """LR-domain receptive radius of the whole stack: how many REAL
+    neighbor LR rows a band needs on each side so that its cropped output
+    rows are bit-identical to the full-frame forward (the 1x1 shrink /
+    expand layers contribute nothing).  feat 5x5 -> 2, the m mapping
+    3x3 convs -> m, and the sub-pixel deconv's stride-1 LxL conv ->
+    max(P, L-1-P) (its asymmetric SAME padding, see _subpixel_plan).
+    Used by the out-of-core chunked path (libsrcnn_tpu/chunked.py)."""
+    L, P, _ = _subpixel_plan(9, spec.scale)
+    return 2 + spec.m + max(P, L - 1 - P)
+
+
 def forward_lr(params: dict, lr_y: jnp.ndarray,
                spec: FSRCNNSpec = FSRCNNSpec(), *, clamp: bool = True,
                precision=lax.Precision.HIGHEST, lane_pack: bool = False):

@@ -84,8 +84,11 @@ def test_chunked_inflight_window_invariant(img, depth):
 
 def test_chunked_validates():
     img = np.zeros((16, 16, 3), np.uint8)
-    with pytest.raises(ValueError, match="upscale_batch"):
-        upscale_chunked(img, 2.0, SRCNNConfig(model="fsrcnn"))
+    with pytest.raises(ValueError, match="exactly"):
+        # LR families keep their exact-scale contract on the chunked path
+        upscale_chunked(img, 2.5, SRCNNConfig(model="fsrcnn"))
+    with pytest.raises(ValueError, match="unknown model"):
+        upscale_chunked(img, 2.0, SRCNNConfig(model="nope"))
     with pytest.raises(ValueError, match="step_scale"):
         upscale_chunked(img, 4.0, SRCNNConfig(step_scale=True))
     with pytest.raises(ValueError, match="tiers"):
@@ -133,10 +136,62 @@ def test_chunked_vdsr_merges_cuts_inside_halo(img):
     np.testing.assert_array_equal(out, ref)
 
 
+# --- LR-family banding: crop-after-halo-extend on whole LR rows --------
+
+
+@pytest.mark.parametrize("model,scale,band", [
+    ("fsrcnn", 2.0, 24),
+    ("fsrcnn", 2.0, 4),     # bands thinner than the 8-LR-row halo
+    ("fsrcnn", 3.0, 27),
+    ("espcn", 2.0, 16),
+    ("espcn", 2.0, 2),      # 1-LR-row bands
+    ("espcn", 4.0, 32),
+])
+def test_chunked_lr_family_bitexact(img, model, scale, band):
+    """fsrcnn/espcn band bit-identically to the api's direct forward:
+    bands are cut on whole LR rows, extended by lr_halo_width REAL
+    neighbor rows (clamped at true edges, where the slice border IS the
+    image border and the stack's own zero padding applies), and the halo
+    output rows are cropped."""
+    cfg = SRCNNConfig(model=model, lane_pack=False)
+    ref, refc = upscale(img, scale, cfg, return_conv_map=True)
+    out, conv = upscale_chunked(img, scale, cfg, band_rows=band)
+    np.testing.assert_array_equal(out, ref)
+    np.testing.assert_array_equal(conv, refc)
+
+
+def test_chunked_lr_family_bf16_tier(img):
+    cfg = SRCNNConfig(model="espcn", lane_pack=False,
+                      compute_dtype="bfloat16")
+    ref = upscale(img, 2.0, cfg)
+    out, _ = upscale_chunked(img, 2.0, cfg, band_rows=20)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_chunked_lr_family_rounds_band_to_lr_rows(img):
+    """band_rows not divisible by the scale is rounded down to whole LR
+    rows (each LR row emits exactly `scale` output rows)."""
+    cfg = SRCNNConfig(model="fsrcnn", lane_pack=False)
+    ref = upscale(img, 2.0, cfg)
+    out, _ = upscale_chunked(img, 2.0, cfg, band_rows=7)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_chunked_lr_family_shares_interior_program(img):
+    """Interior LR-family bands share ONE compiled program; the
+    clamped-halo first/last bands add at most one each."""
+    chunked._compiled_band_lr.cache_clear()
+    cfg = SRCNNConfig(model="espcn", lane_pack=False)
+    out, _ = upscale_chunked(img, 2.0, cfg, band_rows=10)
+    assert out.shape == (90, 76, 3)
+    info = chunked._compiled_band_lr.cache_info()
+    assert info.currsize <= 3, info
+
+
 # --- band-wise flip self-ensemble --------------------------------------
 
 
-@pytest.mark.parametrize("model", ["srcnn", "vdsr"])
+@pytest.mark.parametrize("model", ["srcnn", "vdsr", "fsrcnn"])
 def test_chunked_ensemble_matches_api(img, model):
     """self_ensemble=True on the chunked path must equal the api-level
     ensemble bitwise: per output band, the four flip variants' bands

@@ -57,8 +57,10 @@ def validate_chunked() -> int:
     pipeline at the same tier.  This is also the only single-chip
     exercise of the fused kernel's pad_mode="halo" body on real hardware
     (the mesh paths that share it need >1 device).  Also checks the
-    HR-family banding (vdsr, spec-derived halo plan, direct convs) and
-    the band-wise flip ensemble against their api-level twins."""
+    HR-family banding (vdsr, spec-derived halo plan, direct convs), the
+    LR-family banding (fsrcnn/espcn, crop-after-halo-extend on whole LR
+    rows), and the band-wise flip ensemble against their api-level
+    twins."""
     from libsrcnn_tpu import upscale_chunked
 
     fails = 0
@@ -76,7 +78,10 @@ def validate_chunked() -> int:
     for model, dtype, ens in (("vdsr", "float32", False),
                               ("vdsr", "bfloat16", False),
                               ("vdsr", "float32", True),
-                              ("srcnn", "float32", True)):
+                              ("srcnn", "float32", True),
+                              ("fsrcnn", "float32", False),
+                              ("fsrcnn", "float32", True),
+                              ("espcn", "bfloat16", False)):
         # direct convs on both sides: the lane-packed reduction order is
         # plane-shape-dependent, so banding pins lane_pack=False
         cfg = SRCNNConfig(model=model, compute_dtype=dtype,
