@@ -32,14 +32,14 @@ Three model kinds, three halo plans -- all DERIVED, not assumed:
   rows.  Direct (non-lane-packed) convs: the packed formulation's
   reduction order is plane-shape-dependent, so only the direct stack can
   be bit-identical between a band and the full frame.
-* **LR families** (fsrcnn/espcn, zero-pad SAME stacks + learned
+* **LR families** (fsrcnn/espcn, replicate-pad SAME stacks + learned
   upscale): bands are cut on whole LR rows, extended by
   ``<family>.lr_halo_width(spec)`` REAL neighbor LR rows (clamped at
   true edges), run through the unmodified ``forward_lr``, and the halo's
   output rows are cropped.  No edge-flag machinery is needed: every kept
   output row's receptive field either lies inside the slice's real rows
   or reaches a TRUE image edge -- where the slice border IS the image
-  border, so the stack's own zero padding applies exactly as in the full
+  border, so the stack's own replicate padding applies exactly as in the full
   frame.
 
 One program compiles per band SHAPE (interior bands share one; a ragged
@@ -203,7 +203,7 @@ def _bands_from_edges_lr(edges, halo: int, r: int, src_h: int, gc_idx):
     """LR-family band plan entries: output band [r0, r1) (both multiples
     of the scale ``r``), its LR Y window [ys0, ys1) (the band's own LR
     rows extended by up to ``halo`` REAL neighbor rows, clamped at the
-    true edges -- where the model's own zero padding must apply, exactly
+    true edges -- where the model's own replicate padding must apply, exactly
     as it does in the full frame), the chroma output rows, and the u8
     source-row window covering both."""
     bands = []
@@ -235,10 +235,10 @@ def _compiled_band_lr(d: int, s_rows: int, src_w: int, bh: int,
 
     def body(band_u8, params, y_idx, vc_idx, vc_w):
         planes = color.rgb_to_ycbcr(band_u8)      # [D, s_rows, src_w]
-        # REAL LR rows (band + halo); the stack's zero padding applies
+        # REAL LR rows (band + halo); the stack's replicate padding applies
         # only at the slice borders, and every output row kept below has
         # its full receptive field inside the slice -- or reaches the
-        # TRUE image edge, where the full frame zero-pads identically
+        # TRUE image edge, where the full frame replicate-pads identically
         y_lr = jnp.take(planes[0], y_idx, axis=0)  # [y_len, src_w]
         sr = mod.forward_lr(params, y_lr, spec, precision=precision,
                             lane_pack=False)       # [y_len*r, dst_w]

@@ -155,6 +155,36 @@ def forward_lr(params: dict, lr_y: jnp.ndarray,
     return out[0] if squeeze else out
 
 
+def forward_lr_halo(params: dict, ext: jnp.ndarray, flags,
+                    spec: ESPCNSpec = ESPCNSpec(), *, halo: int | None
+                    = None, precision=lax.Precision.HIGHEST):
+    """Halo-aware forward for the explicit-tiled mesh path (see
+    fsrcnn.forward_lr_halo for the scheme): replicate padding is
+    re-imposed on the out-of-image ring at flagged true edges before
+    every spatial conv reads it (normalize-then-replicate == replicate-
+    then-normalize -- the map is pointwise).  No fix-up is needed after
+    c3: the pixel-shuffle head is purely local and the ring is
+    cropped."""
+    from .fsrcnn import _edge_replicate
+
+    if halo is None:
+        halo = lr_halo_width(spec)
+    r = spec.scale
+    x = ext[None, :, :, None].astype(params["c1_w"].dtype)
+    x = x * (1.0 / 127.5) - 1.0               # [0,255] -> [-1,1]
+    x = _edge_replicate(x, flags, halo)
+
+    h = jnp.tanh(_conv_same(x, params["c1_w"], precision) + params["c1_b"])
+    h = _edge_replicate(h, flags, halo)
+    h = jnp.tanh(_conv_same(h, params["c2_w"], precision) + params["c2_b"])
+    h = _edge_replicate(h, flags, halo)
+    h = _conv_same(h, params["c3_w"], precision) + params["c3_b"]
+    out = pixel_shuffle(h, r)[0].astype(jnp.float32)
+    c = halo * r
+    out = out[c:out.shape[0] - c, c:out.shape[1] - c]
+    return jnp.clip(out, 0.0, 255.0)
+
+
 def make_loss_forward(spec: ESPCNSpec):
     """Adapter for :func:`libsrcnn_tpu.train.trainer.loss_fn` -- same
     (lr, hr) pair protocol as FSRCNN (see fsrcnn.make_lr_patch_batch,

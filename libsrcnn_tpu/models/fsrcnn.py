@@ -245,6 +245,87 @@ def forward_lr(params: dict, lr_y: jnp.ndarray,
     return out[0] if squeeze else out
 
 
+def _edge_replicate(x, flags, halo: int):
+    """Re-impose the stack's edge-replicate padding on the out-of-image
+    halo ring at flagged TRUE edges (flags [4] = top, bottom, left,
+    right) of an [N, H, W, C] activation: ring rows/cols take the true
+    edge row/col's value (rows first, then columns, so corners get the
+    corner value -- jnp.pad edge-mode order).  Applying this after every
+    layer whose output a SPATIAL conv reads reproduces the full frame's
+    per-layer ``conv_same`` replicate padding, while unflagged sides
+    keep the exchanged REAL neighbor values."""
+    H, W = x.shape[1], x.shape[2]
+    ri = jnp.arange(H)[None, :, None, None]
+    x = jnp.where((flags[0] == 1) & (ri < halo),
+                  jax.lax.slice_in_dim(x, halo, halo + 1, axis=1), x)
+    x = jnp.where((flags[1] == 1) & (ri >= H - halo),
+                  jax.lax.slice_in_dim(x, H - halo - 1, H - halo, axis=1), x)
+    ci = jnp.arange(W)[None, None, :, None]
+    x = jnp.where((flags[2] == 1) & (ci < halo),
+                  jax.lax.slice_in_dim(x, halo, halo + 1, axis=2), x)
+    x = jnp.where((flags[3] == 1) & (ci >= W - halo),
+                  jax.lax.slice_in_dim(x, W - halo - 1, W - halo, axis=2), x)
+    return x
+
+
+def _edge_zero(x, flags, halo: int):
+    """Zero the out-of-image halo ring at flagged TRUE edges -- the
+    fix-up for layers whose padding is zeros (the sub-pixel deconv's
+    explicit conv padding), where :func:`_edge_replicate` is for the
+    ``conv_same`` replicate layers."""
+    H, W = x.shape[1], x.shape[2]
+    ri = jnp.arange(H)
+    ci = jnp.arange(W)
+    rmask = (((flags[0] == 0) | (ri >= halo))
+             & ((flags[1] == 0) | (ri < H - halo)))
+    cmask = (((flags[2] == 0) | (ci >= halo))
+             & ((flags[3] == 0) | (ci < W - halo)))
+    return x * (rmask[:, None] & cmask[None, :])[None, :, :, None].astype(
+        x.dtype)
+
+
+def forward_lr_halo(params: dict, ext: jnp.ndarray, flags,
+                    spec: FSRCNNSpec = FSRCNNSpec(), *, halo: int | None
+                    = None, precision=lax.Precision.HIGHEST):
+    """Halo-aware forward for the explicit-tiled mesh path: ``ext`` [H, W]
+    is the shard's LR plane extended by ``halo`` exchanged pixels on
+    EVERY side (uniform shard_map shape); ``flags`` [4] mark which of its
+    borders are true image edges, where the halo ring lies outside the
+    image and gets the stack's replicate padding re-imposed before every spatial
+    conv reads it (see :func:`_edge_replicate`).  Returns the shard's own
+    output tile [(H-2*halo)*r, (W-2*halo)*r], bit-identical to the
+    full-frame :func:`forward_lr` restricted to the shard (direct convs;
+    the lane-packed reduction order is plane-shape-dependent)."""
+    if halo is None:
+        halo = lr_halo_width(spec)
+    r = spec.scale
+    x = ext[None, :, :, None].astype(params["feat_w"].dtype)
+    x = _edge_replicate(x, flags, halo)
+
+    h = _prelu(_conv_same(x, params["feat_w"], precision)
+               + params["feat_b"], params["feat_a"])
+    h = _edge_replicate(h, flags, halo)
+    h = _prelu(_conv_same(h, params["shrink_w"], precision)
+               + params["shrink_b"], params["shrink_a"])
+    h = _edge_replicate(h, flags, halo)
+    for i in range(spec.m):
+        h = _prelu(_conv_same(h, params[f"map{i}_w"], precision)
+                   + params[f"map{i}_b"], params[f"map{i}_a"])
+        h = _edge_replicate(h, flags, halo)
+    h = _prelu(_conv_same(h, params["expand_w"], precision)
+               + params["expand_b"], params["expand_a"])
+    # the deconv's explicit conv padding is ZEROS (unlike the conv_same
+    # layers' replicate) -- so beyond a true edge its input must be 0,
+    # exactly what the full-frame deconv's own padding supplies there
+    h = _edge_zero(h, flags, halo)
+
+    up = _deconv_subpixel(h, params["deconv_w"], r, precision)
+    out = (up + params["deconv_b"])[0, :, :, 0].astype(jnp.float32)
+    c = halo * r
+    out = out[c:out.shape[0] - c, c:out.shape[1] - c]
+    return jnp.clip(out, 0.0, 255.0)
+
+
 def make_loss_forward(spec: FSRCNNSpec):
     """Adapter for :func:`libsrcnn_tpu.train.trainer.loss_fn`: FSRCNN
     consumes the RAW low-resolution plane, so training pairs are

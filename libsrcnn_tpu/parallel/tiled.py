@@ -105,11 +105,34 @@ def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
         hv_c = _axis_halo(c_filter, dst_h, h)
         hh_c = _axis_halo(c_filter, dst_w, w)
 
-        y_r = one(planes[0], rt_y, wt_y, hv_y, ct_y, cwt_y, hh_y)
+        from .. import pipeline as _pipeline
+
+        lr_family = model in _pipeline.LR_FAMILIES
+        if not lr_family:  # LR stacks consume the raw Y plane directly
+            y_r = one(planes[0], rt_y, wt_y, hv_y, ct_y, cwt_y, hh_y)
         rest = [one(planes[c], rt_c, wt_c, hv_c, ct_c, cwt_c, hh_c)
                 for c in range(1, d)]
 
-        if model != "srcnn":
+        if lr_family:
+            # LR family (replicate-pad SAME stack + learned upscale): ONE 2-D
+            # exchange of `model_halo` REAL neighbor LR pixels, then the
+            # flag-gated halo forward -- true-edge shards mask the
+            # out-of-image ring back to the stack's replicate padding, every
+            # shard crops the halo's output rows/cols (forward_lr_halo)
+            mod = _pipeline._lr_family(model)
+            ext = halo_mod._exchange2d(planes[0], model_halo, "row", "col")
+            ri = lax.axis_index("row")
+            ci = lax.axis_index("col")
+            rn = lax.psum(1, "row")
+            cn = lax.psum(1, "col")
+            flags = jnp.stack([
+                (ri == 0), (ri == rn - 1), (ci == 0), (ci == cn - 1),
+            ]).astype(jnp.int32)
+            prec = (jax.lax.Precision.HIGHEST if precision is None
+                    else precision)
+            y_sr = mod.forward_lr_halo(params, ext, flags, spec,
+                                       halo=model_halo, precision=prec)
+        elif model != "srcnn":
             # HR family (per-layer replicate-padded stack): ONE 2-D halo
             # exchange of `model_halo` real neighbor pixels, then the
             # flag-gated halo forward -- true-edge shards re-impose the
@@ -175,12 +198,15 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
     twin).
 
     Models: srcnn (fused Pallas / XLA per-device bodies, halo plan 4+2
-    px with the conv2-ring quirk) and the HR families (vdsr -- direct
-    XLA convs, halo derived from the spec via ``<family>.halo_width``,
+    px with the conv2-ring quirk), the HR families (vdsr/srcnn955 --
+    direct XLA convs, halo derived from the spec via
+    ``<family>.halo_width``), and the LR families (fsrcnn/espcn --
+    shards exchange ``<family>.lr_halo_width`` REAL LR pixels, true-edge
+    shards re-impose the stack's replicate padding on the out-of-image ring
+    per layer, and each shard crops the halo's output; exact-scale
+    contract, H/W constraints in LR pixels).  All learned families run
     float32/bfloat16 tiers; bit-identity is vs the api with
-    ``lane_pack=False``).  The LR families (fsrcnn/espcn) go multi-chip
-    through :func:`..parallel.sharding.upscale_spatial` (GSPMD inserts
-    their halo collectives) or ``upscale_batch``.
+    ``lane_pack=False``.
 
     ``self_ensemble=True`` composes the flip ensemble over four tiled
     passes (:func:`_tiled_ensemble`), bitwise equal to the api-level
@@ -223,24 +249,37 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
         spec = params.get("__spec__") or mod.default_spec()
         params = {k: v for k, v in params.items() if k != "__spec__"}
         model_halo = mod.halo_width(spec)
+    elif cfg.model in _pipeline.LR_FAMILIES:
+        precision = _pipeline.family_precision(cfg.compute_dtype)
+        use_pallas = False
+        mod = _pipeline._lr_family(cfg.model)
+        spec = params.get("__spec__") or mod.default_spec()
+        params = {k: v for k, v in params.items() if k != "__spec__"}
+        model_halo = mod.lr_halo_width(spec)
     else:
-        raise ValueError(
-            f"upscale_tiled spatially shards the HR-domain models (srcnn "
-            f"and {_pipeline.HR_FAMILIES}); model={cfg.model!r} runs at "
-            f"low resolution and goes multi-chip via "
-            f"sharding.upscale_spatial / upscale_batch")
+        raise ValueError(f"unknown model {cfg.model!r}")
     h, w, d = image.shape
     rows, cols = mesh.shape["row"], mesh.shape["col"]
     dst_w, dst_h = scaled_size(w, h, multiply)
+    if cfg.model in _pipeline.LR_FAMILIES:
+        r = spec.scale
+        if (dst_h, dst_w) != (h * r, w * r):
+            raise ValueError(
+                f"{cfg.model} x{r} weights require scale {r} exactly; "
+                f"got {multiply} ({w}x{h} -> {dst_w}x{dst_h})")
     for name, size, parts in (("H", h, rows), ("W", w, cols),
                               ("H'", dst_h, rows), ("W'", dst_w, cols)):
         if size % parts:
             raise ValueError(f"{name}={size} not divisible by mesh axis {parts}")
-    if model_halo and (dst_h // rows < model_halo
-                       or dst_w // cols < model_halo):
-        raise ValueError(
-            f"per-shard tile {dst_h // rows}x{dst_w // cols} smaller than "
-            f"the {cfg.model} halo {model_halo}")
+    if model_halo:
+        # HR families: halo counted in OUTPUT px; LR families: in LR px
+        th_, tw_ = ((h // rows, w // cols)
+                    if cfg.model in _pipeline.LR_FAMILIES
+                    else (dst_h // rows, dst_w // cols))
+        if th_ < model_halo or tw_ < model_halo:
+            raise ValueError(
+                f"per-shard tile {th_}x{tw_} smaller than "
+                f"the {cfg.model} halo {model_halo}")
 
     y_filter = FilterType(cfg.filter)
     c_filter = chroma_filter(y_filter)

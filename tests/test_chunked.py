@@ -151,7 +151,7 @@ def test_chunked_lr_family_bitexact(img, model, scale, band):
     """fsrcnn/espcn band bit-identically to the api's direct forward:
     bands are cut on whole LR rows, extended by lr_halo_width REAL
     neighbor rows (clamped at true edges, where the slice border IS the
-    image border and the stack's own zero padding applies), and the halo
+    image border and the stack's own replicate padding applies), and the halo
     output rows are cropped."""
     cfg = SRCNNConfig(model=model, lane_pack=False)
     ref, refc = upscale(img, scale, cfg, return_conv_map=True)

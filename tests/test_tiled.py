@@ -64,21 +64,70 @@ def test_tiled_validates_divisibility(params, img):
         upscale_tiled(img[:60], params, 2.0, SRCNNConfig(), mesh)  # 60 % 8 != 0
 
 
-def test_tiled_rejects_lr_families():
-    """The LR families run at low resolution (learned upscale head);
-    their configs must get a clear error pointing at the GSPMD paths,
-    never a silent mis-run over mismatched params."""
-    import jax
-    import pytest
-
-    from libsrcnn_tpu import SRCNNConfig
-    from libsrcnn_tpu.parallel import upscale_tiled
-    from libsrcnn_tpu.parallel.mesh import make_mesh
+def test_tiled_rejects_unknown_model_and_lr_scale_mismatch():
+    from libsrcnn_tpu import pipeline as pl
 
     mesh = make_mesh({"data": 1, "row": 2, "col": 1}, jax.devices()[:2])
     img = np.zeros((16, 16, 3), np.uint8)
-    with pytest.raises(ValueError, match="upscale_spatial"):
-        upscale_tiled(img, {}, 2.0, SRCNNConfig(model="fsrcnn"), mesh)
+    with pytest.raises(ValueError, match="unknown model"):
+        upscale_tiled(img, {}, 2.0, SRCNNConfig(model="nope"), mesh)
+    # LR families keep their exact-scale contract on the tiled path
+    cfg = SRCNNConfig(model="fsrcnn", lane_pack=False)
+    params = pl.load_model_params(cfg, 2.0)
+    with pytest.raises(ValueError, match="exactly"):
+        upscale_tiled(img, params, 2.5, cfg, mesh)
+
+
+# --- LR-family tiling: exchanged LR halo + flag-gated padding fix-up ---
+
+
+@pytest.mark.parametrize("model,scale,mesh_shape", [
+    ("fsrcnn", 2.0, (2, 4)),
+    ("fsrcnn", 2.0, (4, 2)),
+    ("fsrcnn", 2.0, (1, 8)),
+    ("espcn", 2.0, (2, 4)),
+    ("espcn", 4.0, (2, 2)),   # data axis absorbs the spare devices
+])
+def test_tiled_lr_family_bitexact(img, model, scale, mesh_shape):
+    """fsrcnn/espcn tile bit-identically to the api's direct forward:
+    shards exchange lr_halo_width REAL LR pixels, true-edge shards
+    re-impose the stack's padding on the out-of-image ring per layer
+    (replicate for the conv_same layers, zeros before fsrcnn's deconv --
+    its explicit conv padding is zeros), and each shard crops the halo's
+    output rows/cols."""
+    from libsrcnn_tpu import pipeline as pl
+
+    r, c = mesh_shape
+    mesh = make_mesh({"data": 8 // (r * c), "row": r, "col": c})
+    cfg = SRCNNConfig(model=model, lane_pack=False)
+    params = pl.load_model_params(cfg, scale)
+    ref, refc = upscale(img, scale, cfg, return_conv_map=True)
+    out, conv = upscale_tiled(img, params, scale, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+    np.testing.assert_array_equal(np.asarray(conv), refc)
+
+
+def test_tiled_lr_family_bf16_tier(img):
+    from libsrcnn_tpu import pipeline as pl
+
+    mesh = make_mesh({"data": 2, "row": 2, "col": 2})
+    cfg = SRCNNConfig(model="espcn", lane_pack=False,
+                      compute_dtype="bfloat16")
+    params = pl.load_model_params(cfg, 2.0)
+    ref = upscale(img, 2.0, cfg)
+    out, _ = upscale_tiled(img, params, 2.0, cfg, mesh)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_tiled_lr_family_rejects_tile_smaller_than_halo():
+    from libsrcnn_tpu import pipeline as pl
+
+    mesh = make_mesh({"data": 1, "row": 8, "col": 1})
+    img = np.zeros((32, 32, 3), np.uint8)   # 4 LR rows/shard < halo 8
+    cfg = SRCNNConfig(model="fsrcnn", lane_pack=False)
+    params = pl.load_model_params(cfg, 2.0)
+    with pytest.raises(ValueError, match="halo"):
+        upscale_tiled(img, params, 2.0, cfg, mesh)
 
 
 @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
