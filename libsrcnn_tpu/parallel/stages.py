@@ -117,6 +117,67 @@ def _atoms(params, d, dst_h, dst_w, y_filter, c_filter, n_chroma):
     return [a_resize, a_conv1, a_conv2, a_conv3]
 
 
+def _atoms_generic(params, spec, d, dst_h, dst_w, y_filter, c_filter,
+                   n_chroma):
+    """Atomic stages for the generic srcnn family (model="srcnn955"):
+    the same [resize, conv1, conv2, conv3+merge] split as the 9-1-5
+    atoms, but per-layer replicate-padded SAME convs at the spec's
+    kernel sizes/filter counts (srcnn_generic.forward_hr semantics).
+    C = n1 + n_chroma (n1 >= n2 and >= d+1 for every sane spec)."""
+    from ..models.srcnn_generic import _conv_same
+
+    C = spec.n1 + n_chroma
+    if spec.n1 < d + 1:
+        raise ValueError(f"n1={spec.n1} too narrow to carry the output")
+
+    def pack(act, chroma):
+        fill = C - act.shape[0] - n_chroma
+        parts = [act.astype(jnp.float32)]
+        if fill:
+            parts.append(jnp.zeros((fill, dst_h, dst_w), jnp.float32))
+        if n_chroma:
+            parts.append(chroma)
+        return jnp.concatenate(parts, axis=0)
+
+    def chroma_of(state):
+        return state[C - n_chroma:] if n_chroma else state[:0]
+
+    def conv(x_chw, w, b, relu=True):
+        h = _conv_same(x_chw.transpose(1, 2, 0)[None], w) + b
+        h = jnp.maximum(h, 0.0) if relu else h
+        return h[0].transpose(2, 0, 1)
+
+    def a_resize(state, frame):
+        planes = color.rgb_to_ycbcr(frame)
+        y_r = resize.resize_plane(planes[0], dst_h, dst_w, y_filter)
+        rest = [resize.resize_plane(planes[c], dst_h, dst_w, c_filter)
+                for c in range(1, d)]
+        chroma = jnp.stack(rest) if rest else None
+        return pack(y_r[None], chroma)
+
+    def a_conv1(state, frame):
+        return pack(conv(state[:1], params["w1"], params["b1"]),
+                    chroma_of(state))
+
+    def a_conv2(state, frame):
+        return pack(conv(state[:spec.n1], params["w2"], params["b2"]),
+                    chroma_of(state))
+
+    def a_conv3(state, frame):
+        y_sr = jnp.clip(conv(state[:spec.n2], params["w3"], params["b3"],
+                             relu=False)[0].astype(jnp.float32), 0.0, 255.0)
+        merged = jnp.concatenate([y_sr[None], chroma_of(state)], axis=0)
+        out_u8 = color.ycbcr_to_rgb(merged)
+        conv_u8 = jnp.floor(y_sr)
+        return pack(
+            jnp.concatenate(
+                [out_u8.transpose(2, 0, 1).astype(jnp.float32),
+                 conv_u8[None]]),
+            chroma_of(state))
+
+    return [a_resize, a_conv1, a_conv2, a_conv3]
+
+
 def _atoms_vdsr(params, spec, d, dst_h, dst_w, y_filter, c_filter,
                 n_chroma):
     """Atomic stages for the vdsr stack: [resize, in, mid x (depth-2),
@@ -219,6 +280,9 @@ def _pipelined_fn(n, h, w, d, dst_h, dst_w, filter_type, mesh, axis,
     if model == "vdsr":
         groups = _balanced_groups(spec.depth + 1, n_stages)
         C = spec.ch + 1 + n_chroma
+    elif model == "srcnn955":
+        groups = _GROUPINGS[n_stages]
+        C = spec.n1 + n_chroma
     else:
         groups = _GROUPINGS[n_stages]
         C = 64 + n_chroma
@@ -228,6 +292,9 @@ def _pipelined_fn(n, h, w, d, dst_h, dst_w, filter_type, mesh, axis,
         if model == "vdsr":
             atoms = _atoms_vdsr(params, spec, d, dst_h, dst_w, y_filter,
                                 c_filter, n_chroma)
+        elif model == "srcnn955":
+            atoms = _atoms_generic(params, spec, d, dst_h, dst_w,
+                                   y_filter, c_filter, n_chroma)
         else:
             atoms = _atoms(params, d, dst_h, dst_w, y_filter, c_filter,
                            n_chroma)
@@ -290,11 +357,12 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
       frames: [N, H, W, D] u8 frames (same geometry).
       params: SRCNN params pytree (``pipeline.load_model_params``).
       multiply: scale factor (same semantics as :func:`libsrcnn_tpu.upscale`).
-      cfg: model ``"srcnn"`` (4 atoms, 2..4 stages) or ``"vdsr"`` (the
-        deep homogeneous stack -- depth+1 atoms, any 2..depth+1 stages,
-        residual identity carried through the chain in a reserved state
-        channel).  The LR families' learned-upscale heads are single
-        fused stages with nothing to pipeline; use
+      cfg: model ``"srcnn"`` / ``"srcnn955"`` (4 atoms, 2..4 stages;
+        the generic family uses its per-layer replicate-padded convs) or
+        ``"vdsr"`` (the deep homogeneous stack -- depth+1 atoms, any
+        2..depth+1 stages, residual identity carried through the chain
+        in a reserved state channel).  The LR families' learned-upscale
+        heads are single fused stages with nothing to pipeline; use
         ``sharding.upscale_batch`` for them.
       mesh: mesh whose ``axis`` axis carries the stages.
 
@@ -313,11 +381,11 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
             "round trips would break bit-identity with api.upscale) -- "
             "chain upscale_pipelined calls per x2 pass instead")
     n_stages = mesh.shape[axis]
-    if cfg.model == "srcnn":
+    if cfg.model in ("srcnn", "srcnn955"):
         if n_stages not in _GROUPINGS:
             raise ValueError(
                 f"pipeline depth {n_stages} unsupported (axis {axis!r}); "
-                f"use {sorted(_GROUPINGS)} stages for srcnn")
+                f"use {sorted(_GROUPINGS)} stages for {cfg.model}")
     elif cfg.model == "vdsr":
         # the deep homogeneous stack is the NATURAL pipelining case:
         # depth+1 atoms split contiguously, any 2..depth+1 stages
@@ -325,9 +393,9 @@ def upscale_pipelined(frames, params, multiply: float, cfg: SRCNNConfig,
             raise ValueError(f"need >= 2 stages, got {n_stages}")
     else:
         raise ValueError(
-            "pipeline-stage parallelism applies to the srcnn and vdsr "
-            f"stacks; model {cfg.model!r} has a fused learned-upscale "
-            "head (use sharding.upscale_batch)")
+            "pipeline-stage parallelism applies to the srcnn/srcnn955/"
+            f"vdsr stacks; model {cfg.model!r} has a fused learned-"
+            "upscale head (use sharding.upscale_batch)")
     if cfg.compute_dtype != "float32":
         raise ValueError(
             "the stage-pipelined path runs exact f32 only (its atoms "

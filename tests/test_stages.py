@@ -142,3 +142,24 @@ def test_pipelined_vdsr_rejects_too_many_stages():
     frames = np.zeros((2, 16, 16, 3), np.uint8)
     with pytest.raises(ValueError, match="atoms"):
         upscale_pipelined(frames, p3, 2.0, cfg, mesh)
+
+
+def test_pipelined_srcnn955_bitexact_all_depths():
+    """The generic family's 4-atom split (per-layer replicate-padded
+    convs at the 9-5-5 spec) pipelines bit-identically to per-frame
+    api.upscale at every supported depth."""
+    import numpy as np
+
+    from libsrcnn_tpu import SRCNNConfig, pipeline, upscale
+    from libsrcnn_tpu.parallel.stages import upscale_pipelined
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    frames = np.random.default_rng(71).integers(
+        0, 256, (4, 18, 22, 3), np.uint8)
+    cfg = SRCNNConfig(model="srcnn955", lane_pack=False)
+    params = pipeline.load_model_params(cfg, 2.0)
+    ref = np.stack([upscale(f, 2.0, cfg, params=params) for f in frames])
+    for s in (2, 4):
+        mesh = make_mesh({"stage": s, "rest": 8 // s})
+        out, _ = upscale_pipelined(frames, params, 2.0, cfg, mesh)
+        np.testing.assert_array_equal(np.asarray(out), ref)
