@@ -41,8 +41,9 @@ def capture(size: int, mode: str, iters: int = 4,
     else:
         dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
         params = jax.device_put(srcnn.load_params(dtype=dtype))
-    pack = mode == "bf16x1pk"
-    prec = fused_conv.MODE_PRECISIONS.get("bf16x1" if pack else mode)
+    pack = mode in ("bf16x1pk", "splitpk")
+    base_mode = {"bf16x1pk": "bf16x1", "splitpk": "split"}.get(mode, mode)
+    prec = fused_conv.MODE_PRECISIONS.get(base_mode)
     if th is None:
         # the mode's PRODUCTION tile height, so traces measure what the
         # pipeline actually runs
@@ -110,7 +111,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--mode", choices=("exact", "split", "bf16x1",
-                                       "bf16x1pk", "int8"),
+                                       "bf16x1pk", "splitpk", "int8"),
                     default="exact")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--th", type=int, default=None,
