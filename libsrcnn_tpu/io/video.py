@@ -241,7 +241,7 @@ def main(argv=None) -> int:
     if src is None:
         raise SystemExit("usage: srcnn-tpu-video <in.(gif|mp4|avi|...)> "
                          "[out] --scale=F "
-                         "--model=srcnn|fsrcnn|espcn|vdsr "
+                         "--model=srcnn|fsrcnn|espcn|vdsr|srcnn955 "
                          "--filter=0..4 --batch=N --bf16 --bf16-fast "
                          "--ensemble")
     if dst is None:
