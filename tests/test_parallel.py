@@ -134,6 +134,22 @@ def test_gspmd_spatial_lr_family(params):
     np.testing.assert_array_equal(np.asarray(out), ref)
 
 
+def test_gspmd_spatial_srcnn955(params):
+    """The generic 9-5-5 HR head shards spatially under GSPMD like the
+    rest of the zoo (XLA partitions its SAME convs with automatic halo
+    collectives)."""
+    from libsrcnn_tpu import pipeline
+
+    mesh = make_mesh({"data": 2, "row": 2, "col": 2})
+    img = np.random.default_rng(14).integers(0, 256, (48, 40, 3), np.uint8)
+    cfg = SRCNNConfig(model="srcnn955")
+    fparams = pipeline.load_model_params(cfg, 2.0)
+    out, _ = sharding.upscale_spatial(jnp.asarray(img), fparams, 2.0,
+                                      cfg, mesh)
+    ref = upscale(img, 2.0, cfg)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
 def test_gspmd_batch_divisibility(params):
     mesh = make_mesh({"data": 4, "row": 2, "col": 1})
     imgs = np.zeros((6, 16, 16, 3), np.uint8)
