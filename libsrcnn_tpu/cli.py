@@ -56,6 +56,7 @@ def parse_args(argv: list[str]):
     dtype = "float32"
     repeat = 1
     debug_dir = None
+    chunked_rows = 0   # 0 = one-shot pipeline; N = out-of-core bands
     file_src = None
     file_dst = None
 
@@ -99,6 +100,13 @@ def parse_args(argv: list[str]):
                 repeat = max(1, int(arg[9:]))
             except ValueError:
                 repeat = 1  # reference parity: atoi-tolerant
+        elif arg == "--chunked":
+            chunked_rows = 512  # out-of-core default band height
+        elif arg.startswith("--chunked="):
+            try:
+                chunked_rows = max(1, int(arg[10:]))
+            except ValueError:
+                chunked_rows = 512
         elif arg.startswith("--debug-dir="):
             debug_dir = arg[12:]
         elif arg.startswith("--waitakey"):
@@ -117,6 +125,7 @@ def parse_args(argv: list[str]):
             "--model=srcnn|fsrcnn|espcn|vdsr|srcnn955 --ensemble --bf16 "
             "--bf16-fast --int8 "
             "--repeat=N "
+            "--chunked[=BAND_ROWS] "
             "--debug-dir=DIR"
         )
     if file_dst is None:
@@ -126,13 +135,13 @@ def parse_args(argv: list[str]):
     cfg = SRCNNConfig(filter=filter_type, step_scale=step,
                       use_pallas=use_pallas, compute_dtype=dtype,
                       model=model, self_ensemble=ensemble)
-    return file_src, file_dst, file_conv, scale, cfg, repeat, debug_dir
+    return (file_src, file_dst, file_conv, scale, cfg, repeat, debug_dir,
+            chunked_rows)
 
 
 def main(argv: list[str] | None = None) -> int:
-    src, dst, convdst, scale, cfg, repeat, debug_dir = parse_args(
-        sys.argv[1:] if argv is None else argv
-    )
+    (src, dst, convdst, scale, cfg, repeat, debug_dir,
+     chunked_rows) = parse_args(sys.argv[1:] if argv is None else argv)
     if debug_dir:
         os.environ["LIBSRCNN_TPU_DEBUG_DIR"] = debug_dir
 
@@ -150,7 +159,16 @@ def main(argv: list[str] | None = None) -> int:
     out = conv = None
     t0 = get_tick_count()
     for _ in range(repeat):
-        out, conv = api.upscale(img, scale, cfg, return_conv_map=True)
+        if chunked_rows:
+            # out-of-core band streaming: gigapixel stills whose planes
+            # exceed device (or host f32) memory; bit-identical to the
+            # one-shot path at the same tier (libsrcnn_tpu/chunked.py)
+            from .chunked import upscale_chunked
+
+            out, conv = upscale_chunked(img, scale, cfg,
+                                        band_rows=chunked_rows)
+        else:
+            out, conv = api.upscale(img, scale, cfg, return_conv_map=True)
     elapsed = get_tick_count() - t0
 
     save_png(dst, out)

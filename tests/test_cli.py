@@ -19,13 +19,14 @@ def png(tmp_path):
 
 
 def test_parse_defaults():
-    src, dst, conv, scale, cfg, repeat, dbg = cli.parse_args(["in.png"])
+    src, dst, conv, scale, cfg, repeat, dbg, _ = cli.parse_args(
+        ["in.png"])
     assert (src, dst, conv) == ("in.png", "in_resized.png", "in_convolution.png")
     assert scale == 2.0 and cfg.filter == FilterType.BICUBIC and not cfg.step_scale
 
 
 def test_parse_flags():
-    _, _, _, scale, cfg, repeat, dbg = cli.parse_args(
+    _, _, _, scale, cfg, repeat, dbg, _ = cli.parse_args(
         ["a.jpg", "--scale=3.5", "--filter=3", "--step", "--repeat=2"])
     assert scale == 3.5 and cfg.filter == FilterType.LANCZOS3 and cfg.step_scale
     assert repeat == 2
@@ -33,13 +34,13 @@ def test_parse_flags():
 
 def test_parse_filter_names():
     for name, ft in [("bspline", FilterType.BSPLINE), ("nearest", FilterType.NEAREST)]:
-        _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", f"--filter={name}"])
+        _, _, _, _, cfg, _, _, _ = cli.parse_args(["a.png", f"--filter={name}"])
         assert cfg.filter == ft
 
 
 def test_parse_bad_filter_falls_back_to_bicubic():
     # `test.cpp:353`: unknown numeric filter defaults to bicubic
-    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--filter=99"])
+    _, _, _, _, cfg, _, _, _ = cli.parse_args(["a.png", "--filter=99"])
     assert cfg.filter == FilterType.BICUBIC
 
 
@@ -51,7 +52,7 @@ def test_no_input_exits():
 
 
 def test_explicit_output_name():
-    _, dst, _, _, _, _, _ = cli.parse_args(["a.png", "b.png"])
+    _, dst, _, _, _, _, _, _ = cli.parse_args(["a.png", "b.png"])
     assert dst == "b.png"
 
 
@@ -74,20 +75,20 @@ def test_waitakey_accepted(png):
 
 
 def test_parse_pallas_and_bf16_flags():
-    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png"])
+    _, _, _, _, cfg, _, _, _ = cli.parse_args(["a.png"])
     assert cfg.use_pallas is None and cfg.compute_dtype == "float32"
-    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--no-pallas", "--bf16"])
+    _, _, _, _, cfg, _, _, _ = cli.parse_args(["a.png", "--no-pallas", "--bf16"])
     assert cfg.use_pallas is False and cfg.compute_dtype == "bfloat16"
-    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--pallas"])
+    _, _, _, _, cfg, _, _, _ = cli.parse_args(["a.png", "--pallas"])
     assert cfg.use_pallas is True
-    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--bf16-fast"])
+    _, _, _, _, cfg, _, _, _ = cli.parse_args(["a.png", "--bf16-fast"])
     assert cfg.compute_dtype == "bfloat16_fast"
 
 
 def test_parse_ensemble_flag():
-    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png", "--ensemble"])
+    _, _, _, _, cfg, _, _, _ = cli.parse_args(["a.png", "--ensemble"])
     assert cfg.self_ensemble is True
-    _, _, _, _, cfg, _, _ = cli.parse_args(["a.png"])
+    _, _, _, _, cfg, _, _, _ = cli.parse_args(["a.png"])
     assert cfg.self_ensemble is False
 
 
@@ -114,6 +115,22 @@ def test_auto_name_dotted_directory():
 
 def test_cli_tolerates_malformed_numeric_flags(tmp_path):
     """atof/atoi parity: garbage numeric values keep the defaults."""
-    _, _, _, scale, _cfg, repeat, _ = cli.parse_args(
+    _, _, _, scale, _cfg, repeat, _, _ = cli.parse_args(
         ["x.png", "--scale=abc", "--repeat=zz"])
     assert scale == 2.0 and repeat == 1
+
+
+def test_cli_chunked_matches_oneshot(tmp_path, png):
+    """--chunked[=N] routes through the out-of-core band streamer and
+    writes byte-identical outputs to the one-shot path."""
+    src, img = png
+    _, _, _, _, _, _, _, rows = cli.parse_args(["a.png", "--chunked"])
+    assert rows == 512
+    _, _, _, _, _, _, _, rows = cli.parse_args(["a.png", "--chunked=7"])
+    assert rows == 7
+
+    dst1 = str(tmp_path / "one.png")
+    dst2 = str(tmp_path / "band.png")
+    assert cli.main([src, dst1, "--scale=2"]) == 0
+    assert cli.main([src, dst2, "--scale=2", "--chunked=8"]) == 0
+    np.testing.assert_array_equal(load_image(dst1), load_image(dst2))
