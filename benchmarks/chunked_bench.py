@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--scale", type=float, default=2.0)
     ap.add_argument("--band", type=int, default=512)
     ap.add_argument("--tier", default="bfloat16_fast")
+    ap.add_argument("--model", default="srcnn",
+                    help="srcnn|fsrcnn|espcn|vdsr|srcnn955 (family tiers "
+                         "are float32/bfloat16)")
     args = ap.parse_args()
 
     import jax
@@ -47,8 +50,10 @@ def main() -> None:
     from libsrcnn_tpu import SRCNNConfig, upscale_chunked
     from libsrcnn_tpu import pipeline
 
-    cfg = SRCNNConfig(compute_dtype=args.tier,
-                      use_pallas=None if args.tier == "float32" else True)
+    cfg = SRCNNConfig(compute_dtype=args.tier, model=args.model,
+                      lane_pack=False if args.model != "srcnn" else None,
+                      use_pallas=(None if args.tier == "float32"
+                                  or args.model != "srcnn" else True))
     rng = np.random.default_rng(0)
     img = rng.integers(0, 256, (args.size, args.size, 3), np.uint8)
     params = pipeline.load_model_params(cfg, args.scale)
@@ -73,7 +78,7 @@ def main() -> None:
     down_bytes = dst * dst * 3 + dst * dst   # out u8 + conv u8
     floor_s = up_bytes / (bw_up * 1e6) + down_bytes / (bw_down * 1e6)
     print(f"{args.size}^2 -> {dst}^2 ({out_mp:.1f} MP out), band {args.band}, "
-          f"tier {args.tier}")
+          f"tier {args.tier}, model {args.model}")
     print(f"transfer floor: {floor_s * 1000:.0f} ms "
           f"({up_bytes / 1e6:.0f} MB up + {down_bytes / 1e6:.0f} MB down)")
 
