@@ -50,6 +50,10 @@ def main() -> None:
     from libsrcnn_tpu import SRCNNConfig, upscale_chunked
     from libsrcnn_tpu import pipeline
 
+    if args.model != "srcnn" and args.tier not in ("float32", "bfloat16"):
+        # family tiers are float32/bfloat16; downgrade the srcnn default
+        print(f"note: tier {args.tier} is srcnn-only -> bfloat16")
+        args.tier = "bfloat16"
     cfg = SRCNNConfig(compute_dtype=args.tier, model=args.model,
                       lane_pack=False if args.model != "srcnn" else None,
                       use_pallas=(None if args.tier == "float32"

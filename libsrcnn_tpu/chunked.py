@@ -364,7 +364,7 @@ def _resolve_chunked(cfg: SRCNNConfig, multiply: float,
         use_pallas = False
         mod = _pipeline._lr_family(cfg.model)
         spec = params.get("__spec__") or mod.default_spec()
-        halo = mod.lr_halo_width(spec)
+        halo = mod.lr_halo_width(spec, params)
     else:
         raise ValueError(f"unknown model {cfg.model!r}")
 
@@ -390,7 +390,8 @@ def upscale_chunked(image, multiply: float, cfg: SRCNNConfig = DEFAULT_CONFIG,
     (the fetch is the only blocking call in the loop).  1 = fully
     serial; the default 2 double-buffers.
 
-    Models: srcnn (fused Pallas / XLA, all four tiers), the HR families
+    Models: srcnn (fused Pallas / XLA; float32 + the two bf16 tiers --
+    int8 is one-shot only), the HR families
     (vdsr/srcnn955 -- direct XLA convs, float32/bfloat16 tiers, halo
     derived from the spec), and the LR families (fsrcnn/espcn -- bands
     cut on whole LR rows, crop-after-halo-extend, exact-scale contract

@@ -132,6 +132,9 @@ def parse_args(argv: list[str]):
         file_dst = _auto_name(file_src, "resized")
     file_conv = _auto_name(file_src, "convolution")
 
+    if chunked_rows and dtype == "int8":
+        raise SystemExit("--chunked streams the float32/bfloat16/"
+                         "bfloat16_fast tiers; --int8 is one-shot only")
     cfg = SRCNNConfig(filter=filter_type, step_scale=step,
                       use_pallas=use_pallas, compute_dtype=dtype,
                       model=model, self_ensemble=ensemble)
@@ -162,7 +165,9 @@ def main(argv: list[str] | None = None) -> int:
         if chunked_rows:
             # out-of-core band streaming: gigapixel stills whose planes
             # exceed device (or host f32) memory; bit-identical to the
-            # one-shot path at the same tier (libsrcnn_tpu/chunked.py)
+            # one-shot path at the same tier (family models: to the
+            # direct-conv formulation, lane_pack=False -- see
+            # libsrcnn_tpu/chunked.py; band-invariance needs it)
             from .chunked import upscale_chunked
 
             out, conv = upscale_chunked(img, scale, cfg,

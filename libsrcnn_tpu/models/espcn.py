@@ -122,11 +122,17 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x.reshape(n, h * r, w * r)
 
 
-def lr_halo_width(spec: ESPCNSpec = ESPCNSpec()) -> int:
+def lr_halo_width(spec: ESPCNSpec = ESPCNSpec(),
+                  params: dict | None = None) -> int:
     """LR-domain receptive radius: c1 5x5 -> 2, c2/c3 3x3 -> 1 each (the
-    pixel-shuffle head is purely local).  See fsrcnn.lr_halo_width; used
-    by the out-of-core chunked path (libsrcnn_tpu/chunked.py)."""
-    return 4
+    pixel-shuffle head is purely local).  ``params`` (optional, protocol
+    uniformity with fsrcnn) derives the radii from the checkpoint's
+    actual kernel shapes.  Used by the gigapixel paths
+    (libsrcnn_tpu/chunked.py, parallel/tiled.py)."""
+    if params is None:
+        return 4
+    return sum(int(np.asarray(params[k]).shape[0]) // 2
+               for k in ("c1_w", "c2_w", "c3_w"))
 
 
 def forward_lr(params: dict, lr_y: jnp.ndarray,

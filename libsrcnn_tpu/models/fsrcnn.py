@@ -190,15 +190,21 @@ def _deconv_subpixel(h, w, r: int, precision, lane_pack: bool = False):
     return pixel_shuffle(up, r)[..., None]
 
 
-def lr_halo_width(spec: FSRCNNSpec = FSRCNNSpec()) -> int:
+def lr_halo_width(spec: FSRCNNSpec = FSRCNNSpec(),
+                  params: dict | None = None) -> int:
     """LR-domain receptive radius of the whole stack: how many REAL
     neighbor LR rows a band needs on each side so that its cropped output
     rows are bit-identical to the full-frame forward (the 1x1 shrink /
     expand layers contribute nothing).  feat 5x5 -> 2, the m mapping
     3x3 convs -> m, and the sub-pixel deconv's stride-1 LxL conv ->
     max(P, L-1-P) (its asymmetric SAME padding, see _subpixel_plan).
-    Used by the out-of-core chunked path (libsrcnn_tpu/chunked.py)."""
-    L, P, _ = _subpixel_plan(9, spec.scale)
+    The spec carries no deconv kernel size (init_params fixes 9x9), so
+    pass ``params`` to derive it from the checkpoint's actual
+    ``deconv_w`` -- the chunked/tiled paths do, keeping the halo honest
+    for any hypothetical non-9x9 head.  Used by the gigapixel paths
+    (libsrcnn_tpu/chunked.py, parallel/tiled.py)."""
+    k = 9 if params is None else int(np.asarray(params["deconv_w"]).shape[0])
+    L, P, _ = _subpixel_plan(k, spec.scale)
     return 2 + spec.m + max(P, L - 1 - P)
 
 

@@ -61,11 +61,12 @@ _GROUPINGS = {
 }
 
 
-def _atoms(params, d, dst_h, dst_w, y_filter, c_filter, n_chroma):
-    """The four atomic stage functions, each mapping
-    (packed [C,H',W'] f32 state, [H,W,D] u8 frame) -> packed state."""
-    C = 64 + n_chroma
-
+def _state_helpers(C: int, n_chroma: int, dst_h: int, dst_w: int):
+    """Shared packed-state layout for the carry-less atom builders
+    (:func:`_atoms`, :func:`_atoms_generic`): channels ``[0:k)`` live
+    activation, tail the chroma planes, zero fill between (the vdsr
+    builder keeps its own variant -- it reserves a carry channel for the
+    residual identity path)."""
     def pack(act, chroma):
         fill = C - act.shape[0] - n_chroma
         parts = [act.astype(jnp.float32)]
@@ -77,6 +78,25 @@ def _atoms(params, d, dst_h, dst_w, y_filter, c_filter, n_chroma):
 
     def chroma_of(state):
         return state[C - n_chroma:] if n_chroma else state[:0]
+
+    return pack, chroma_of
+
+
+def _chw_conv(conv_same):
+    """[C,H,W]-state SAME conv atom body over a family's conv_same."""
+    def conv(x_chw, w, b, relu=True):
+        h = conv_same(x_chw.transpose(1, 2, 0)[None], w) + b
+        h = jnp.maximum(h, 0.0) if relu else h
+        return h[0].transpose(2, 0, 1)
+
+    return conv
+
+
+def _atoms(params, d, dst_h, dst_w, y_filter, c_filter, n_chroma):
+    """The four atomic stage functions, each mapping
+    (packed [C,H',W'] f32 state, [H,W,D] u8 frame) -> packed state."""
+    C = 64 + n_chroma
+    pack, chroma_of = _state_helpers(C, n_chroma, dst_h, dst_w)
 
     def a_resize(state, frame):
         planes = color.rgb_to_ycbcr(frame)  # [D,H,W] f32
@@ -129,23 +149,8 @@ def _atoms_generic(params, spec, d, dst_h, dst_w, y_filter, c_filter,
     C = spec.n1 + n_chroma
     if spec.n1 < d + 1:
         raise ValueError(f"n1={spec.n1} too narrow to carry the output")
-
-    def pack(act, chroma):
-        fill = C - act.shape[0] - n_chroma
-        parts = [act.astype(jnp.float32)]
-        if fill:
-            parts.append(jnp.zeros((fill, dst_h, dst_w), jnp.float32))
-        if n_chroma:
-            parts.append(chroma)
-        return jnp.concatenate(parts, axis=0)
-
-    def chroma_of(state):
-        return state[C - n_chroma:] if n_chroma else state[:0]
-
-    def conv(x_chw, w, b, relu=True):
-        h = _conv_same(x_chw.transpose(1, 2, 0)[None], w) + b
-        h = jnp.maximum(h, 0.0) if relu else h
-        return h[0].transpose(2, 0, 1)
+    pack, chroma_of = _state_helpers(C, n_chroma, dst_h, dst_w)
+    conv = _chw_conv(_conv_same)
 
     def a_resize(state, frame):
         planes = color.rgb_to_ycbcr(frame)
@@ -210,10 +215,7 @@ def _atoms_vdsr(params, spec, d, dst_h, dst_w, y_filter, c_filter,
     def chroma_of(state):
         return state[C - n_chroma:] if n_chroma else state[:0]
 
-    def conv(x_chw, w, b, relu=True):
-        h = _conv_same(x_chw.transpose(1, 2, 0)[None], w) + b
-        h = jnp.maximum(h, 0.0) if relu else h
-        return h[0].transpose(2, 0, 1)
+    conv = _chw_conv(_conv_same)
 
     def a_resize(state, frame):
         planes = color.rgb_to_ycbcr(frame)

@@ -113,14 +113,17 @@ def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
         rest = [one(planes[c], rt_c, wt_c, hv_c, ct_c, cwt_c, hh_c)
                 for c in range(1, d)]
 
-        if lr_family:
-            # LR family (replicate-pad SAME stack + learned upscale): ONE 2-D
-            # exchange of `model_halo` REAL neighbor LR pixels, then the
-            # flag-gated halo forward -- true-edge shards mask the
-            # out-of-image ring back to the stack's replicate padding, every
-            # shard crops the halo's output rows/cols (forward_lr_halo)
+        if model != "srcnn":
+            # Learned family: ONE 2-D halo exchange of `model_halo` REAL
+            # neighbor pixels (HR families: output-domain px on the
+            # resized plane; LR families: LR px on the raw Y plane),
+            # then the flag-gated halo forward -- true-edge shards
+            # re-impose the stack's own per-layer padding on the
+            # out-of-image ring, interior shards keep exchanged pixels;
+            # LR shards additionally crop the halo's output rows/cols.
             mod = _pipeline._lr_family(model)
-            ext = halo_mod._exchange2d(planes[0], model_halo, "row", "col")
+            src_plane = planes[0] if lr_family else y_r
+            ext = halo_mod._exchange2d(src_plane, model_halo, "row", "col")
             ri = lax.axis_index("row")
             ci = lax.axis_index("col")
             rn = lax.psum(1, "row")
@@ -130,28 +133,9 @@ def _run_tiled(img, params, row_tabs, col_tabs, *, dst_h, dst_w, filter_type,
             ]).astype(jnp.int32)
             prec = (jax.lax.Precision.HIGHEST if precision is None
                     else precision)
-            y_sr = mod.forward_lr_halo(params, ext, flags, spec,
-                                       halo=model_halo, precision=prec)
-        elif model != "srcnn":
-            # HR family (per-layer replicate-padded stack): ONE 2-D halo
-            # exchange of `model_halo` real neighbor pixels, then the
-            # flag-gated halo forward -- true-edge shards re-impose the
-            # per-layer padding, interior shards keep exchanged pixels.
-            from .. import pipeline as _pipeline
-
-            mod = _pipeline._lr_family(model)
-            ext = halo_mod._exchange2d(y_r, model_halo, "row", "col")
-            ri = lax.axis_index("row")
-            ci = lax.axis_index("col")
-            rn = lax.psum(1, "row")
-            cn = lax.psum(1, "col")
-            flags = jnp.stack([
-                (ri == 0), (ri == rn - 1), (ci == 0), (ci == cn - 1),
-            ]).astype(jnp.int32)
-            prec = (jax.lax.Precision.HIGHEST if precision is None
-                    else precision)
-            y_sr = mod.forward_hr_halo(params, ext, flags, spec,
-                                       halo=model_halo, precision=prec)
+            fwd = mod.forward_lr_halo if lr_family else mod.forward_hr_halo
+            y_sr = fwd(params, ext, flags, spec, halo=model_halo,
+                       precision=prec)
         elif use_pallas:
             from ..kernels import fused_conv
 
@@ -255,7 +239,7 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
         mod = _pipeline._lr_family(cfg.model)
         spec = params.get("__spec__") or mod.default_spec()
         params = {k: v for k, v in params.items() if k != "__spec__"}
-        model_halo = mod.lr_halo_width(spec)
+        model_halo = mod.lr_halo_width(spec, params)
     else:
         raise ValueError(f"unknown model {cfg.model!r}")
     h, w, d = image.shape
