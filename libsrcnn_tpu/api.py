@@ -262,5 +262,24 @@ def process_srcnn(refbuff, w: int, h: int, d: int, multiply: float):
         # Pythonic and returns the input copy for this case.
         return -100, None, None
     img = buf.reshape(h, w, d)
-    out, conv = upscale(img, multiply, cfg, return_conv_map=True)
-    return 0, out.ravel(), (conv.ravel() if conv is not None else None)
+    # Allocation-failure parity (`libsrcnn.cpp:883,910`): the reference
+    # returns -11 when the output RGB buffer allocation fails and -12 when
+    # the conv-map u8 buffer allocation fails (with the already-built
+    # output still handed back).  Here device/host allocation failures
+    # surface as MemoryError or an XLA RESOURCE_EXHAUSTED error.
+    try:
+        out, conv = upscale(img, multiply, cfg, return_conv_map=True)
+        out_flat = np.asarray(out).ravel()
+    except MemoryError:
+        return -11, None, None
+    except jax.errors.JaxRuntimeError as e:  # jaxlib XlaRuntimeError subclass
+        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            return -11, None, None
+        raise
+    try:
+        conv_flat = conv.ravel() if conv is not None else None
+    except MemoryError:
+        # reference keeps the copied output buffer on a conv-map
+        # allocation failure (`libsrcnn.cpp:895-912`)
+        return -12, out_flat, None
+    return 0, out_flat, conv_flat

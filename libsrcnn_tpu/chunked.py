@@ -329,6 +329,14 @@ def _resolve_chunked(cfg: SRCNNConfig, multiply: float,
     if cfg.step_scale:
         raise ValueError("step_scale is not supported by the chunked path "
                          "(one direct pass; chain calls per x2 pass)")
+    if cfg.lane_pack:
+        # the band programs run the LR stacks unpacked (lane_pack=False)
+        # so bands stay bit-identical to the unpacked one-shot path;
+        # honoring an explicit lane_pack=True here would silently change
+        # the reduction partitioning mid-path -- reject like step_scale
+        raise ValueError("lane_pack=True is not supported by the chunked "
+                         "path (bands run the LR stacks unpacked; leave "
+                         "lane_pack unset/False)")
     if params is None:
         params = _pipeline.load_model_params(cfg, multiply)
 

@@ -135,6 +135,10 @@ def parse_args(argv: list[str]):
     if chunked_rows and dtype == "int8":
         raise SystemExit("--chunked streams the float32/bfloat16/"
                          "bfloat16_fast tiers; --int8 is one-shot only")
+    if chunked_rows and step:
+        raise SystemExit("--chunked runs one direct pass; --step's chained "
+                         "x2 passes are one-shot only (run per-pass "
+                         "--chunked invocations to chain by hand)")
     cfg = SRCNNConfig(filter=filter_type, step_scale=step,
                       use_pallas=use_pallas, compute_dtype=dtype,
                       model=model, self_ensemble=ensemble)
@@ -147,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
      chunked_rows) = parse_args(sys.argv[1:] if argv is None else argv)
     if debug_dir:
         os.environ["LIBSRCNN_TPU_DEBUG_DIR"] = debug_dir
+    if cfg.model == "srcnn" and scale >= 3.0:
+        # EVAL.md: the reference 9-1-5 weights are x2-trained and lose to
+        # plain bicubic at x3/x4 (-0.30 dB butterfly x4; --step worse)
+        print("note: srcnn 9-1-5 underperforms bicubic at x3/x4 -- "
+              "consider --model=fsrcnn or --model=espcn (integer scales) "
+              "or --model=vdsr/srcnn955", file=sys.stderr)
 
     # import after arg parsing so `--help`-style errors don't pay JAX init
     from . import api

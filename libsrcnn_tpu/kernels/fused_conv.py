@@ -490,9 +490,10 @@ def forward_y_int8(qparams: dict, y: jnp.ndarray, *,
 #: on-chip; benchmarks/bf16_mode_sweep.py A/Bs it via pack_im2col)
 PACK_IM2COL_DEFAULT = True
 
-#: auto-select the hi/lo-packed im2col for the split tier -- OFF until the
-#: on-chip A/B (benchmarks/bf16_mode_sweep.py --split-pack) shows a win;
-#: opt in per call via forward_y(pack_im2col=True, precision=DEFAULT)
+#: auto-select the hi/lo-packed im2col for the split tier -- OFF: the
+#: sweep's `splitpk` mode measured it ~9% slower device-true at th=48/80
+#: (PERF.md round-4 "Split-tier hi/lo pack"); opt in per call via
+#: forward_y(pack_im2col=True, precision=DEFAULT)
 PACK_IM2COL_SPLIT_DEFAULT = False
 
 

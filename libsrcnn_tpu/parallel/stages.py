@@ -149,6 +149,12 @@ def _atoms_generic(params, spec, d, dst_h, dst_w, y_filter, c_filter,
     C = spec.n1 + n_chroma
     if spec.n1 < d + 1:
         raise ValueError(f"n1={spec.n1} too narrow to carry the output")
+    if spec.n2 > spec.n1:
+        # pack() fills the state to C = n1 + n_chroma channels; a wider
+        # conv2 output would need a negative fill (obscure jnp.zeros
+        # trace error) -- reject up front
+        raise ValueError(f"n2={spec.n2} > n1={spec.n1}: the stage state "
+                         f"carries n1 + chroma channels")
     pack, chroma_of = _state_helpers(C, n_chroma, dst_h, dst_w)
     conv = _chw_conv(_conv_same)
 

@@ -208,6 +208,12 @@ def upscale_tiled(image, params, multiply: float, cfg: SRCNNConfig,
             "direct pass; silently skipping the chained-x2 u8 round trips "
             "would break bit-identity with api.upscale) -- chain "
             "upscale_tiled calls per x2 pass instead")
+    if cfg.lane_pack:
+        # shards run the LR stacks unpacked (bit-identity contract above
+        # is vs lane_pack=False); reject an explicit True like step_scale
+        raise ValueError("lane_pack=True is not supported by the tiled "
+                         "path (shards run the LR stacks unpacked; leave "
+                         "lane_pack unset/False)")
     spec, model_halo = None, 0
     if cfg.model == "srcnn":
         use_pallas = resolve_pallas(cfg.use_pallas)

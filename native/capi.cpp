@@ -13,8 +13,8 @@
 //     (the reference hands out new[] storage and leaves delete[] to the
 //     caller, `libsrcnn.cpp:869-920`).
 //   - Error codes match `libsrcnn.cpp`: 0 ok, -1 bad args (`:951-952`),
-//     -2 bad scale (`:963-966`), -10/-11/-12 allocation failures
-//     (`:870,:883,:910`), -100 unexpected internal failure (`:948`).
+//     -2 bad scale (`:963-966`), -11/-12 allocation failures
+//     (`:883,:910`), -100 unexpected internal failure (`:948,:968`).
 //
 // Device selection follows the normal JAX environment: with the TPU
 // tunnel configured the pipeline runs on the chip; `JAX_PLATFORMS=cpu`

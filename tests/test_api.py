@@ -172,3 +172,58 @@ def test_step_scale_identity_chain_runs_zero_passes(img):
                            return_conv_map=True)
     np.testing.assert_array_equal(out, arr)
     assert conv is None
+
+
+def test_process_srcnn_alloc_failure_is_minus_11(img, monkeypatch):
+    """Reference parity: output-buffer allocation failure returns -11
+    (`libsrcnn.cpp:883`).  Device OOM (RESOURCE_EXHAUSTED) maps the same
+    way -- it is the XLA arena's analog of the failed `new[]`."""
+    import jax
+
+    from libsrcnn_tpu import api
+
+    def oom(*a, **k):
+        raise MemoryError("host allocation failed")
+
+    monkeypatch.setattr(api, "upscale", oom)
+    assert lt.process_srcnn(img.tobytes(), 24, 20, 3, 2.0) == (-11, None, None)
+
+    def xla_oom(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory allocating 1099511627776 bytes")
+
+    monkeypatch.setattr(api, "upscale", xla_oom)
+    assert lt.process_srcnn(img.tobytes(), 24, 20, 3, 2.0) == (-11, None, None)
+
+
+def test_process_srcnn_conv_alloc_failure_is_minus_12(img, monkeypatch):
+    """Reference parity: conv-map buffer allocation failure returns -12
+    while KEEPING the already-copied output buffer (`libsrcnn.cpp:895-912`)."""
+    from libsrcnn_tpu import api
+
+    real_out = lt.upscale(
+        np.frombuffer(img.tobytes(), np.uint8).reshape(20, 24, 3), 2.0)
+
+    class FailingConv:
+        def ravel(self):
+            raise MemoryError("conv buffer allocation failed")
+
+    monkeypatch.setattr(api, "upscale", lambda *a, **k: (real_out, FailingConv()))
+    rc, out, conv = lt.process_srcnn(img.tobytes(), 24, 20, 3, 2.0)
+    assert rc == -12 and conv is None
+    np.testing.assert_array_equal(out, real_out.ravel())
+
+
+def test_process_srcnn_non_oom_runtime_error_propagates(img, monkeypatch):
+    """Only allocation failures map to retcodes; other XLA runtime errors
+    stay Python exceptions (no reference analog to map them to)."""
+    import jax
+
+    from libsrcnn_tpu import api
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError("INTERNAL: something unrelated")
+
+    monkeypatch.setattr(api, "upscale", boom)
+    with pytest.raises(jax.errors.JaxRuntimeError):
+        lt.process_srcnn(img.tobytes(), 24, 20, 3, 2.0)

@@ -91,6 +91,11 @@ def test_chunked_validates():
         upscale_chunked(img, 2.0, SRCNNConfig(model="nope"))
     with pytest.raises(ValueError, match="step_scale"):
         upscale_chunked(img, 4.0, SRCNNConfig(step_scale=True))
+    with pytest.raises(ValueError, match="lane_pack"):
+        # bands run the LR stacks unpacked; an explicit True would
+        # silently change the reduction partitioning mid-path
+        upscale_chunked(img, 2.0, SRCNNConfig(model="espcn",
+                                              lane_pack=True))
     with pytest.raises(ValueError, match="tiers"):
         upscale_chunked(img, 2.0, SRCNNConfig(compute_dtype="bfloat16",
                                               use_pallas=False))

@@ -134,3 +134,11 @@ def test_cli_chunked_matches_oneshot(tmp_path, png):
     assert cli.main([src, dst1, "--scale=2"]) == 0
     assert cli.main([src, dst2, "--scale=2", "--chunked=8"]) == 0
     np.testing.assert_array_equal(load_image(dst1), load_image(dst2))
+
+
+def test_chunked_step_conflict_exits():
+    """--chunked runs one direct pass; combining it with --step must be a
+    friendly SystemExit (like --chunked/--int8), not an uncaught
+    ValueError out of upscale_chunked."""
+    with pytest.raises(SystemExit, match="step"):
+        cli.parse_args(["a.png", "--chunked", "--step"])

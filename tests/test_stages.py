@@ -163,3 +163,23 @@ def test_pipelined_srcnn955_bitexact_all_depths():
         mesh = make_mesh({"stage": s, "rest": 8 // s})
         out, _ = upscale_pipelined(frames, params, 2.0, cfg, mesh)
         np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_pipelined_rejects_n2_wider_than_n1():
+    """A generic spec with n2 > n1 cannot carry conv2's output in the
+    n1 + chroma stage state; must fail with a clear error, not a
+    negative-dimension jnp.zeros trace error."""
+    import jax
+
+    from libsrcnn_tpu.models import srcnn_generic
+    from libsrcnn_tpu.parallel.stages import upscale_pipelined
+    from libsrcnn_tpu.parallel.mesh import make_mesh
+
+    spec = srcnn_generic.ModelSpec(f1=9, n1=16, f2=5, n2=32, f3=5)
+    params = dict(srcnn_generic.init_params(jax.random.key(0), spec),
+                  __spec__=spec)
+    mesh = make_mesh({"stage": 2, "rest": 4})
+    frames = np.zeros((2, 16, 16, 3), np.uint8)
+    with pytest.raises(ValueError, match="n2"):
+        upscale_pipelined(frames, params, 2.0,
+                          SRCNNConfig(model="srcnn955"), mesh)

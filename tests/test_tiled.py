@@ -185,6 +185,10 @@ def test_tiled_rejects_step_scale_and_non_f32():
     params = srcnn.load_params()
     with pytest.raises(ValueError, match="step_scale"):
         upscale_tiled(img, params, 4.0, SRCNNConfig(step_scale=True), mesh)
+    with pytest.raises(ValueError, match="lane_pack"):
+        # shards run the LR stacks unpacked (bit-identity contract)
+        upscale_tiled(img, params, 2.0,
+                      SRCNNConfig(model="fsrcnn", lane_pack=True), mesh)
     # bf16 tiers need the Pallas body; the XLA body is exact-only
     with pytest.raises(ValueError, match="tiers"):
         upscale_tiled(img, params, 2.0,
