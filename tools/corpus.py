@@ -73,12 +73,56 @@ def base_images() -> list[np.ndarray]:
             if os.path.exists(p)]
 
 
-def texture_images(min_detail: float = MIN_DETAIL,
-                   limit: int | None = None) -> list[np.ndarray]:
-    """Curated labmaze textures as RGB u8, detail-richest first."""
+#: textures reserved for EVALUATION (tools/gen_eval_report.py) and
+#: excluded from the training corpus forever -- quality claims need
+#: held-out measurements beyond the single butterfly (VERDICT r4 item 7).
+#: One high-detail and one mid-detail face, fixed by name.
+EVAL_HOLDOUT_TEXTURES = ("style_01/floor_light_m.png",
+                         "style_02/wall_purple_d.png")
+
+
+def eval_holdout_images() -> list[tuple[str, np.ndarray]]:
+    """(name, rgb u8) images NEVER seen by any trainer: matplotlib's
+    grace_hopper photo (kept out of training -- NEXT.md round-3) and the
+    two reserved labmaze faces (center-cropped to 512^2 to keep eval
+    runtime sane)."""
     from PIL import Image
 
-    files = _labmaze_files()
+    out = []
+    try:
+        import matplotlib
+
+        p = os.path.join(os.path.dirname(matplotlib.__file__), "mpl-data",
+                         "sample_data", "grace_hopper.jpg")
+        if os.path.exists(p):
+            out.append(("grace_hopper.jpg",
+                        np.asarray(Image.open(p).convert("RGB"))))
+    except ImportError:
+        pass
+    import warnings
+
+    for f in _labmaze_files():
+        tail = f.split("assets/")[-1] if "assets/" in f else os.path.basename(f)
+        if tail in EVAL_HOLDOUT_TEXTURES:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", UserWarning)
+                rgb = np.asarray(Image.open(f).convert("RGB"))
+            h, w = rgb.shape[:2]
+            r0, c0 = (h - 512) // 2, (w - 512) // 2
+            out.append(("labmaze/" + tail.replace("/", "_"),
+                        rgb[r0:r0 + 512, c0:c0 + 512]))
+    return out
+
+
+def texture_images(min_detail: float = MIN_DETAIL,
+                   limit: int | None = None) -> list[np.ndarray]:
+    """Curated labmaze textures as RGB u8, detail-richest first (the
+    :data:`EVAL_HOLDOUT_TEXTURES` are excluded -- they are eval-only)."""
+    from PIL import Image
+
+    files = [f for f in _labmaze_files()
+             if (f.split("assets/")[-1] if "assets/" in f
+                 else os.path.basename(f)) not in EVAL_HOLDOUT_TEXTURES]
     scored = []
     import warnings
 

@@ -23,6 +23,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "EVAL.md")
 
@@ -44,8 +45,15 @@ def corpus() -> list[tuple[str, str, np.ndarray]]:
                   ("flower.jpg", "trained on*", os.path.join(img_dir, "flower.jpg"))]
     except ImportError:
         pass
-    return [(n, t, np.asarray(Image.open(p).convert("RGB")))
+    rows = [(n, t, np.asarray(Image.open(p).convert("RGB")))
             for n, t, p in items if os.path.exists(p)]
+    # additional NEVER-trained-on images (tools/corpus.py reserves them):
+    # grace_hopper + two labmaze faces, so every quality claim rests on
+    # >= 3 held-out measurements, not butterfly alone
+    import corpus as _corpus
+
+    rows += [(n, "held out", img) for n, img in _corpus.eval_holdout_images()]
+    return rows
 
 
 def shipped_scales(family: str) -> list[int]:
@@ -113,13 +121,26 @@ def main() -> int:
         "SURVEY.md §4). `interp` = classical bicubic upscale baseline.",
         "Generated by `tools/gen_eval_report.py`; regenerate after retraining.",
         "",
-        "`*` the trained families (fsrcnn/espcn/vdsr/srcnn955) saw "
-        "castle/china/flower",
-        "during training (plus the curated in-container texture set, "
-        "tools/corpus.py —",
-        "~55 MP; none of the eval photos beyond the three marked ones); "
-        "butterfly is",
-        "held out for every model.",
+        "**Dataset limitation**: the standard SR benchmark sets "
+        "(Set5/Set14, SURVEY.md",
+        "§4/§6) cannot be fetched — this container has no network egress "
+        "and no",
+        "skimage/pooch. The corpus below is every usable in-container "
+        "image; drop a",
+        "dataset directory in and `eval/runner.py` ingests it the moment "
+        "one exists.",
+        "",
+        "`*` the shipped trained families (fsrcnn/espcn/vdsr/srcnn955) saw "
+        "ONLY",
+        "castle/china/flower during training (base corpus; the final "
+        "round-4/5",
+        "schedules dropped the texture set — NEXT.md). Every `held out` "
+        "row is",
+        "genuinely unseen: butterfly, matplotlib's grace_hopper, and two "
+        "labmaze",
+        "faces reserved by `tools/corpus.py:EVAL_HOLDOUT_TEXTURES` "
+        "(excluded from",
+        "`corpus_images(extended=True)` permanently).",
         "The srcnn rows use the reference's own pre-trained 9-1-5 weights",
         "(trained on none of these — an external checkpoint from 2014).",
         "",
