@@ -42,12 +42,16 @@ def capture(size: int, mode: str, iters: int = 4,
         dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
         params = jax.device_put(srcnn.load_params(dtype=dtype))
     pack = mode in ("bf16x1pk", "splitpk")
-    base_mode = {"bf16x1pk": "bf16x1", "splitpk": "split"}.get(mode, mode)
+    band = {"bf16x1band": "unroll", "bf16x1bandf": "fori"}.get(mode)
+    base_mode = {"bf16x1pk": "bf16x1", "splitpk": "split",
+                 "bf16x1band": "bf16x1", "bf16x1bandf": "bf16x1"}.get(mode,
+                                                                     mode)
     prec = fused_conv.MODE_PRECISIONS.get(base_mode)
     if th is None:
         # the mode's PRODUCTION tile height, so traces measure what the
-        # pipeline actually runs
+        # pipeline actually runs (band modes: sweep th explicitly)
         th = (fused_conv.INT8_TH if mode == "int8"
+              else 64 if band
               else fused_conv.tile_h_for(prec))
     need_h, need_w = fused_conv.padded_geometry(size, size, th=th)
     rng = np.random.default_rng(0)
@@ -57,6 +61,9 @@ def capture(size: int, mode: str, iters: int = 4,
     if mode == "int8":
         fn = jax.jit(lambda p, x: fused_conv.forward_y_int8(
             p, x, tile_h=th, full_pad_shape=(size, size)))
+    elif band:
+        fn = jax.jit(lambda p, x: fused_conv.forward_y_band(
+            p, x, tile_h=th, full_pad_shape=(size, size), band_impl=band))
     else:
         fn = jax.jit(lambda p, x: fused_conv.forward_y(
             p, x, tile_h=th, precision=prec, full_pad_shape=(size, size),
@@ -111,7 +118,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--mode", choices=("exact", "split", "bf16x1",
-                                       "bf16x1pk", "splitpk", "int8"),
+                                       "bf16x1pk", "splitpk", "int8",
+                                       "bf16x1band", "bf16x1bandf"),
                     default="exact")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--th", type=int, default=None,

@@ -443,6 +443,169 @@ def _launch(body, params, yext, flags, *, h, w, gh, gw, hp, rb, th,
     return out[:h, :w]
 
 
+# ---------------------------------------------------------------------------
+# Row-band formulation (bf16x1 + pair pack): grid over row bands only
+# ---------------------------------------------------------------------------
+#
+# The per-column-tile grid's window over-fetch is structural: Element lane
+# offsets must be 128-aligned, so every tile fetches EW=384 lanes for 124
+# output columns (~3.1x input re-read; PERF.md round-2 "Floor statement").
+# This variant re-fights the round-2 row-band rejection on the current
+# toolchain (VERDICT r4 item 2): one kernel instance per ROW BAND reads the
+# band's window ONCE ([rb, 1, BW] at lane offset 0 -- trivially aligned)
+# and computes all gw column tiles from it, cutting window DMA from
+# gh*gw*rb*EW to gh*rb*BW (~3x less at 2048^2) and removing the dynamic
+# alignment roll.  Two inner-loop strategies, both preserved for A/B:
+#
+# * ``unroll``: a Python loop over j with STATIC unaligned lane slices at
+#   j*TW + dx (the per-tap misalignment cost is the same rotate+select the
+#   column-tile kernel already pays at dx = 1..8); program size grows gw-
+#   fold -- the round-2 compile-time killer, re-tested deliberately.
+# * ``fori``: a lax.fori_loop whose carry is the band's bf16-rounded code
+#   plane, left-rotated by TW each step so taps always sit at lanes
+#   [dx, dx+CW); constant program size, one [rb, BW] VPU roll per tile.
+
+
+def _pair_tile(b16, base, i, j, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+               b3_ref, flags_ref, q_scr, *, th, a_hi, s_hi, gh, gw):
+    """One column tile's pair-packed bf16x1 compute, taps read from the
+    band's rounded code plane at lane base ``base`` (static int).  Returns
+    the clipped [th, 1, CW] output tile."""
+    ch = th + 4
+    for k in range(0, 81, 2):
+        dy0, dx0 = divmod(k, 9)
+        lo = b16[dy0:dy0 + ch, :, base + dx0:base + dx0 + CW]
+        if k + 1 < 81:
+            dy1, dx1 = divmod(k + 1, 9)
+            word = lo | (b16[dy1:dy1 + ch, :, base + dx1:base + dx1 + CW]
+                         << 16)
+        else:
+            word = lo
+        q_scr[:, k // 2:k // 2 + 1, :] = word
+    q = pltpu.bitcast(q_scr[:], jnp.bfloat16)     # [ch, 82, CW]
+    h1 = jax.lax.dot_general(q, w1_ref[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
+
+    hi = h1.astype(jnp.bfloat16)
+    h2 = jax.lax.dot_general(hi, w2_ref[:].astype(jnp.bfloat16),
+                             (((2,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    c2 = jnp.maximum(h2 + b2_ref[:], 0.0)
+
+    c2 = _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw)
+
+    c2t = jnp.swapaxes(c2, 1, 2)                  # [ch, 32, CW]
+    wb = jnp.broadcast_to(w3_ref[:], (ch, 25, 32))
+    g = jax.lax.dot_general(wb.astype(jnp.bfloat16),
+                            c2t.astype(jnp.bfloat16),
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    acc = _conv3_roll_reduce(g, th)
+    return jnp.clip(acc + b3_ref[0], 0.0, 255.0)
+
+
+def _kernel_band(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
+                 win_ref, out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
+                 gh: int, gw: int, unroll: bool):
+    i = pl.program_id(0)
+    bw = win_ref.shape[2]
+    # bf16-round the WHOLE band window once (RNE integer identity,
+    # bit-equal to the column-tile kernel's per-window rounding)
+    bits = pltpu.bitcast(win_ref[:], jnp.int32)
+    b16 = ((bits + 0x7FFF + ((bits >> 16) & 1)) >> 16) & 0xFFFF
+
+    kw = dict(th=th, a_hi=a_hi, s_hi=s_hi, gh=gh, gw=gw)
+    if unroll:
+        for j in range(gw):
+            res = _pair_tile(b16, j * TW, i, j, w1_ref, b1_ref, w2_ref,
+                             b2_ref, w3_ref, b3_ref, flags_ref, q_scr, **kw)
+            out_ref[0, :, j, 0, :] = res[:, 0, :]
+    else:
+        def step(j, b16v):
+            res = _pair_tile(b16v, 0, i, j, w1_ref, b1_ref, w2_ref,
+                             b2_ref, w3_ref, b3_ref, flags_ref, q_scr, **kw)
+            out_ref[0, :, j, 0, :] = res[:, 0, :]
+            # left-rotate by TW so the next tile's taps sit at lane 0
+            return pltpu.roll(b16v, bw - TW, axis=2)
+
+        jax.lax.fori_loop(0, gw, step, b16)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("th", "interpret", "pad_mode",
+                                    "full_shape", "band_impl"))
+def _fused_band(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
+                interpret: bool, pad_mode: str = "none",
+                full_shape: tuple | None = None, band_impl: str = "unroll"):
+    """Row-band bf16x1 variant of :func:`_fused` (always pair-packed)."""
+    (h, w, gh, gw, hp, rb, yext, a_hi, s_hi,
+     flags) = _plane_setup(y, edge_flags, th, pad_mode, full_shape)
+    # the band block needs lanes [0, (gw-1)*TW + 8 + CW), 128-rounded;
+    # always <= the plane's need_w (which carries EW = 384 spare lanes)
+    bw = -(-((gw - 1) * TW + 8 + CW) // 128) * 128
+    assert bw <= yext.shape[2], (bw, yext.shape)
+    w1p = jnp.concatenate(
+        [w1, jnp.zeros((1, w1.shape[1]), w1.dtype)]).astype(jnp.bfloat16)
+    body = functools.partial(_kernel_band, th=th, a_hi=a_hi, s_hi=s_hi,
+                             gh=gh, gw=gw, unroll=band_impl == "unroll")
+    params = (w1p, b1, w2, b2, w3, b3)
+    out4 = pl.pallas_call(
+        body,
+        out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, CW), jnp.float32),
+        grid=(gh,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(params) + [
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # edge flags [4]
+            pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(bw)),
+                         lambda i: (i * th, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, gw, 1, CW),
+                               lambda i: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((th + 4, 41, CW), jnp.int32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hp * gw * TW * (81 * 64 + 64 * 32 + 25 * 32),
+            bytes_accessed=hp * bw * 4 + hp * gw * CW * 4,
+            transcendentals=0,
+        ),
+    )(*params, flags, yext)
+    out = out4.reshape(hp, gw, CW)[:, :, :TW].reshape(hp, gw * TW)
+    return out[:h, :w]
+
+
+def forward_y_band(params: dict, y: jnp.ndarray, *, tile_h: int = 64,
+                   interpret: bool | None = None,
+                   full_pad_shape: tuple | None = None,
+                   band_impl: str = "unroll") -> jnp.ndarray:
+    """Row-band bf16x1 forward (A/B candidate vs :func:`forward_y` at
+    ``precision=BF16X1, pack_im2col=True``): numerically identical tap
+    rounding and GEMM passes, different launch geometry.  Kept as a
+    benchmark/validation entry until it proves faster on device."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    squeeze = y.ndim == 2
+    if squeeze:
+        y = y[None]
+    w1 = params["w1"].reshape(81, 64).astype(jnp.float32)
+    b1 = params["b1"].astype(jnp.float32)
+    w2 = params["w2"].reshape(64, 32).astype(jnp.float32)
+    b2 = params["b2"].astype(jnp.float32)
+    w3 = params["w3"][:, :, :, 0].transpose(1, 0, 2).reshape(25, 32)
+    w3 = w3.astype(jnp.float32)
+    b3 = params["b3"].reshape(1).astype(jnp.float32)
+    pad_mode = "none" if full_pad_shape is None else "full"
+    outs = []
+    for k in range(y.shape[0]):
+        outs.append(_fused_band(y[k].astype(jnp.float32), w1, b1, w2, b2,
+                                w3, b3, th=tile_h, interpret=interpret,
+                                pad_mode=pad_mode, full_shape=full_pad_shape,
+                                band_impl=band_impl))
+    out = jnp.stack(outs)
+    return out[0] if squeeze else out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("th", "interpret", "pad_mode",
                                     "full_shape"))

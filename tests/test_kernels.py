@@ -151,3 +151,24 @@ def test_split_hilo_pack_matches_two_pass(params):
                              precision=jax.lax.Precision.DEFAULT,
                              tile_h=24, pack_im2col=True)
     assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) <= 0.01
+
+
+def test_row_band_matches_column_tile(params):
+    """The row-band bf16x1 kernel (grid over row bands, all column tiles
+    computed from one window read) is BIT-identical to the shipped
+    column-tile pair-packed kernel: same RNE tap rounding, same GEMM
+    passes, same border clamp -- only the launch geometry differs.  Both
+    inner-loop strategies (static unroll / fori+roll) must agree."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libsrcnn_tpu.kernels import fused_conv
+
+    y = np.random.default_rng(3).uniform(0, 255, (70, 260)).astype(np.float32)
+    ref = fused_conv.forward_y(params, jnp.asarray(y),
+                               precision=fused_conv.BF16X1,
+                               tile_h=16, pack_im2col=True)
+    for impl in ("unroll", "fori"):
+        out = fused_conv.forward_y_band(params, jnp.asarray(y), tile_h=16,
+                                        band_impl=impl)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
