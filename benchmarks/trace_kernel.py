@@ -41,9 +41,11 @@ def capture(size: int, mode: str, iters: int = 4,
     else:
         dtype = jnp.float32 if mode == "exact" else jnp.bfloat16
         params = jax.device_put(srcnn.load_params(dtype=dtype))
-    pack = mode in ("bf16x1pk", "splitpk")
+    pack = mode in ("bf16x1pk", "splitpk", "bf16x1nw")
     band = {"bf16x1band": "unroll", "bf16x1bandf": "fori"}.get(mode)
+    geom = fused_conv.NARROW if mode == "bf16x1nw" else fused_conv.WIDE
     base_mode = {"bf16x1pk": "bf16x1", "splitpk": "split",
+                 "bf16x1nw": "bf16x1",
                  "bf16x1band": "bf16x1", "bf16x1bandf": "bf16x1"}.get(mode,
                                                                      mode)
     prec = fused_conv.MODE_PRECISIONS.get(base_mode)
@@ -53,7 +55,7 @@ def capture(size: int, mode: str, iters: int = 4,
         th = (fused_conv.INT8_TH if mode == "int8"
               else 64 if band
               else fused_conv.tile_h_for(prec))
-    need_h, need_w = fused_conv.padded_geometry(size, size, th=th)
+    need_h, need_w = fused_conv.padded_geometry(size, size, th=th, geom=geom)
     rng = np.random.default_rng(0)
     ys = [jax.device_put(rng.uniform(0, 255, (need_h, need_w))
                          .astype(np.float32)) for _ in range(iters)]
@@ -67,7 +69,7 @@ def capture(size: int, mode: str, iters: int = 4,
     else:
         fn = jax.jit(lambda p, x: fused_conv.forward_y(
             p, x, tile_h=th, precision=prec, full_pad_shape=(size, size),
-            pack_im2col=pack))
+            pack_im2col=pack, geom=geom))
     out = fn(params, ys[0])
     np.asarray(out[0, :1])  # warm-up + true sync through the relay
 
@@ -119,6 +121,7 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=2048)
     ap.add_argument("--mode", choices=("exact", "split", "bf16x1",
                                        "bf16x1pk", "splitpk", "int8",
+                                       "bf16x1nw",
                                        "bf16x1band", "bf16x1bandf"),
                     default="exact")
     ap.add_argument("--iters", type=int, default=4)

@@ -57,6 +57,18 @@ EW = 384          # window block lane width: Mosaic requires Element lane
                   # residual shift (<128); live span = shift + 140 <= 267,
                   # rounded up to a multiple of the 128-lane tile
 
+#: (tw, cw, ew) geometries.  WIDE is the original: tw=124 keeps the GEMM
+#: N dim at exactly 128 lanes but residual shifts reach 124, forcing a
+#: 384-lane window (3.1x input over-read).  NARROW trades 3% GEMM
+#: N-padding (cw=124 of 128 lanes) for shifts that are multiples of 8
+#: (124 -> 120 columns/tile), capping the live span at 120+136 = 256 --
+#: a 256-lane window, cutting the structural window over-fetch by a
+#: third (VERDICT r4 item 2; the round-5 answer to the EW=384 term).
+#: Per-element results are BIT-IDENTICAL across geometries (the grid
+#: partitioning changes, the per-column arithmetic does not).
+WIDE = (124, 128, 384)
+NARROW = (120, 124, 256)
+
 
 DEFAULT_TH = 40   # largest tile height fitting VMEM (f32 GEMM buffers)
 BF16_TH = 48      # split-bf16x2 mode: HIGHEST's 3-pass GEMMs keep hi/lo
@@ -79,14 +91,16 @@ def _round8(x: int) -> int:
     return (x + 7) // 8 * 8
 
 
-def padded_geometry(h: int, w: int, th: int = DEFAULT_TH) -> tuple[int, int]:
+def padded_geometry(h: int, w: int, th: int = DEFAULT_TH,
+                    geom: tuple = WIDE) -> tuple[int, int]:
     """The [need_h, need_w] plane size the kernel reads for an [h, w]
-    output: every tile's full [rb, EW] Element window must be in-bounds.
+    output: every tile's full [rb, ew] Element window must be in-bounds.
     Used by the pipeline to have the resize gather emit the fully padded
     plane directly (``pad_mode="full"``)."""
-    gh, gw = -(-h // th), -(-w // TW)
+    tw, cw, ew = geom
+    gh, gw = -(-h // th), -(-w // tw)
     rb = _round8(th + 2 * HALO)
-    return (gh - 1) * th + rb, (gw - 1) * TW + EW
+    return (gh - 1) * th + rb, (gw - 1) * tw + ew
 
 
 #: sentinel precision for the single-pass bf16 mode (see :func:`_dot`)
@@ -135,7 +149,7 @@ def _dot(x, w, dims, precision):
     return a + b
 
 
-def _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw):
+def _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw, cw=CW):
     """Reference border semantics (`libsrcnn.cpp:463-489`): conv3 reads
     conv2's OUTPUT clamped to the valid image rectangle, so at true image
     edges the c2 halo ring is REPLACED by the edge c2 value rather than
@@ -148,7 +162,7 @@ def _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw):
     int8 kernel's int32 accumulators (its folded epilogue is elementwise
     per channel)."""
     row_idx = jax.lax.broadcasted_iota(jnp.int32, (ch, 1, 1), 0)
-    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, CW, 1), 1)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (1, cw, 1), 1)
     c2 = jnp.where((flags_ref[0] == 1) & (i == 0) & (row_idx < 2),
                    c2[2:3], c2)
     c2 = jnp.where((flags_ref[1] == 1) & (i == gh - 1) & (row_idx > a_hi),
@@ -160,17 +174,17 @@ def _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw):
     return c2
 
 
-def _conv3_roll_reduce(g, th: int):
-    """Collapse conv3's tap GEMM output G [ch, 25, CW] (taps ordered
+def _conv3_roll_reduce(g, th: int, cw: int = CW):
+    """Collapse conv3's tap GEMM output G [ch, 25, cw] (taps ordered
     k = 5*dx + dy): 5 lane rolls fold the dx shifts (valid columns never
-    wrap: x+dx <= 123+4 < 128, wrapped values land only in the 4 junk
+    wrap: x+dx <= tw-1+4 < cw, wrapped values land only in the 4 junk
     columns), 5 major-offset adds fold the dy shifts.  Dtype-generic
     (f32 kernel / int32 int8 kernel)."""
-    q25 = None                                    # [ch, 5, CW]: dy planes
+    q25 = None                                    # [ch, 5, cw]: dy planes
     for dx in range(5):
         blk = g[:, 5 * dx:5 * dx + 5, :]
-        # left-rotate by dx == roll by CW-dx (pltpu.roll wants shift >= 0)
-        r = pltpu.roll(blk, CW - dx, axis=2) if dx else blk
+        # left-rotate by dx == roll by cw-dx (pltpu.roll wants shift >= 0)
+        r = pltpu.roll(blk, cw - dx, axis=2) if dx else blk
         q25 = r if q25 is None else q25 + r
     acc = None                                    # [th, 1, CW]
     for dy in range(5):
@@ -181,15 +195,17 @@ def _conv3_roll_reduce(g, th: int):
 
 def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
             win_ref, out_ref, q_scr, *, th: int, a_hi: int, s_hi: int,
-            gh: int, gw: int, precision=None, pack: str | None = None):
+            gh: int, gw: int, precision=None, pack: str | None = None,
+            geom: tuple = WIDE):
+    tw, cw, ew = geom
     i = pl.program_id(0)
     j = pl.program_id(1)
     ch = th + 4
-    ext = win_ref[:]                              # [RB, 1, EW]
+    ext = win_ref[:]                              # [RB, 1, ew]
     # undo the 128-alignment of this block's lane offset (see EW note):
     # one dynamic lane rotate, then all tap slices below stay static
-    shift = j * TW - (j * TW) // 128 * 128
-    ext = pltpu.roll(ext, (EW - shift) % EW, axis=2)
+    shift = j * tw - (j * tw) // 128 * 128
+    ext = pltpu.roll(ext, (ew - shift) % ew, axis=2)
 
     if pack == "pair":
         # --- packed im2col (bf16x1 mode): bf16 tap PAIRS in i32 words ---
@@ -210,14 +226,14 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
         b16 = ((bits + 0x7FFF + ((bits >> 16) & 1)) >> 16) & 0xFFFF
         for k in range(0, 81, 2):
             dy0, dx0 = divmod(k, 9)
-            lo = b16[dy0:dy0 + ch, :, dx0:dx0 + CW]
+            lo = b16[dy0:dy0 + ch, :, dx0:dx0 + cw]
             if k + 1 < 81:
                 dy1, dx1 = divmod(k + 1, 9)
-                word = lo | (b16[dy1:dy1 + ch, :, dx1:dx1 + CW] << 16)
+                word = lo | (b16[dy1:dy1 + ch, :, dx1:dx1 + cw] << 16)
             else:
                 word = lo
             q_scr[:, k // 2:k // 2 + 1, :] = word
-        q = pltpu.bitcast(q_scr[:], jnp.bfloat16)  # [ch, 82, CW]
+        q = pltpu.bitcast(q_scr[:], jnp.bfloat16)  # [ch, 82, cw]
         h1 = jax.lax.dot_general(q, w1_ref[:], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
@@ -243,8 +259,8 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
         for dy in range(9):
             for dx in range(9):
                 k = dy * 9 + dx
-                q_scr[:, k:k + 1, :] = b32[dy:dy + ch, :, dx:dx + CW]
-        q = pltpu.bitcast(q_scr[:], jnp.bfloat16)  # [ch, 162, CW]
+                q_scr[:, k:k + 1, :] = b32[dy:dy + ch, :, dx:dx + cw]
+        q = pltpu.bitcast(q_scr[:], jnp.bfloat16)  # [ch, 162, cw]
         h1 = jax.lax.dot_general(q, w1_ref[:], (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         h1 = jnp.maximum(h1 + b1_ref[:], 0.0)
@@ -259,8 +275,8 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
         for dy in range(9):
             for dx in range(9):
                 k = dy * 9 + dx
-                q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + CW]
-        q = q_scr[:]                              # [ch, 81, CW]
+                q_scr[:, k:k + 1, :] = ext[dy:dy + ch, :, dx:dx + cw]
+        q = q_scr[:]                              # [ch, 81, cw]
 
         # --- conv1: batched [81,CW]^T x [81,64] MXU GEMMs ----------------
         h1 = _dot(q, w1_ref[:], (((1,), (0,)), ((), ())),
@@ -272,7 +288,7 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
               precision)                          # [ch, CW, 32] f32
     c2 = jnp.maximum(h2 + b2_ref[:], 0.0)
 
-    c2 = _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw)
+    c2 = _border_clamp(c2, flags_ref, i, j, ch, a_hi, s_hi, gh, gw, cw)
 
     # --- conv3 on the MXU: one batched GEMM contracts the 32 channels
     # against ALL 25 tap weight vectors -> G [ch, 25, CW] with taps
@@ -299,7 +315,7 @@ def _kernel(w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref, flags_ref,
             lo = (c2t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             g = g + jax.lax.dot_general(wbb, lo, dims,
                                         preferred_element_type=jnp.float32)
-    acc = _conv3_roll_reduce(g, th)
+    acc = _conv3_roll_reduce(g, th, cw)
     out_ref[0, :, 0] = jnp.clip(acc + b3_ref[0], 0.0, 255.0)
 
 
@@ -366,12 +382,13 @@ def _kernel_int8(w1_ref, s1_ref, t1_ref, w2_ref, s2_ref, t2_ref,
 
 
 def _plane_setup(y, edge_flags, th: int, pad_mode: str,
-                 full_shape: tuple | None):
+                 full_shape: tuple | None, geom: tuple = WIDE):
     """Shared launch geometry for both kernel variants: resolve the real
     (h, w) from ``pad_mode`` (see :func:`_fused`), pad ``y`` out to the
     [need_h, need_w] plane every tile's Element window reads from, and
     compute the last-tile border-clamp thresholds in c2-local coordinates
     (+2 ring offset)."""
+    tw, cw, ew = geom
     if pad_mode == "full":
         h, w = full_shape
     elif pad_mode == "halo":
@@ -380,12 +397,12 @@ def _plane_setup(y, edge_flags, th: int, pad_mode: str,
         h, w = y.shape
     if edge_flags is None:
         edge_flags = jnp.ones((4,), jnp.int32)
-    gh, gw = -(-h // th), -(-w // TW)
-    hp, wp = gh * th, gw * TW
+    gh, gw = -(-h // th), -(-w // tw)
+    hp, wp = gh * th, gw * tw
     rb = _round8(th + 2 * HALO)                   # window rows per block
-    # plane must cover the last tile's full [rb, EW] window
+    # plane must cover the last tile's full [rb, ew] window
     need_h = (gh - 1) * th + rb
-    need_w = (gw - 1) * TW + EW
+    need_w = (gw - 1) * tw + ew
 
     if pad_mode == "full":
         assert y.shape == (need_h, need_w), (y.shape, need_h, need_w)
@@ -404,42 +421,44 @@ def _plane_setup(y, edge_flags, th: int, pad_mode: str,
     yext = yext[:, None, :]
 
     a_hi = (h - 1) - (gh - 1) * th + 2
-    s_hi = (w - 1) - (gw - 1) * TW + 2
+    s_hi = (w - 1) - (gw - 1) * tw + 2
     return (h, w, gh, gw, hp, rb, yext, a_hi, s_hi,
             jnp.asarray(edge_flags, jnp.int32))
 
 
 def _launch(body, params, yext, flags, *, h, w, gh, gw, hp, rb, th,
-            scratch_dtype, interpret, scratch_taps: int = 81):
+            scratch_dtype, interpret, scratch_taps: int = 81,
+            geom: tuple = WIDE):
     """Shared pallas_call plumbing: grid/BlockSpecs (params in VMEM, edge
     flags in SMEM, Element-granular input windows), the im2col scratch in
     the variant's dtype (``scratch_taps`` sublanes: 81 tap rows / hi-lo
     words, or 41 packed pair-words), and the junk-column-dropping reshape
     epilogue
     (blocks land in final row order, so no transpose)."""
+    tw, cw, ew = geom
     out4 = pl.pallas_call(
         body,
-        out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, CW), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((gh, th, gw, 1, cw), jnp.float32),
         grid=(gh, gw),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(params) + [
             pl.BlockSpec(memory_space=pltpu.SMEM),      # edge flags [4]
-            pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(EW)),
-                         lambda i, j: (i * th, 0, (j * TW) // 128 * 128),
+            pl.BlockSpec((pl.Element(rb), pl.Element(1), pl.Element(ew)),
+                         lambda i, j: (i * th, 0, (j * tw) // 128 * 128),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, 1, 1, CW),
+        out_specs=pl.BlockSpec((1, th, 1, 1, cw),
                                lambda i, j: (i, 0, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((th + 4, scratch_taps, CW), scratch_dtype)],
+        scratch_shapes=[pltpu.VMEM((th + 4, scratch_taps, cw), scratch_dtype)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * hp * gw * TW * (81 * 64 + 64 * 32 + 25 * 32),
-            bytes_accessed=hp * gw * TW * 8,
+            flops=2 * hp * gw * tw * (81 * 64 + 64 * 32 + 25 * 32),
+            bytes_accessed=hp * gw * tw * 8,
             transcendentals=0,
         ),
     )(*params, flags, yext)
 
-    out = out4.reshape(hp, gw, CW)[:, :, :TW].reshape(hp, gw * TW)
+    out = out4.reshape(hp, gw, cw)[:, :, :tw].reshape(hp, gw * tw)
     return out[:h, :w]
 
 
@@ -653,6 +672,12 @@ def forward_y_int8(qparams: dict, y: jnp.ndarray, *,
 #: on-chip; benchmarks/bf16_mode_sweep.py A/Bs it via pack_im2col)
 PACK_IM2COL_DEFAULT = True
 
+#: auto-select the NARROW (256-lane window) launch geometry for the packed
+#: bf16x1 tier -- bit-identical output, ~1/3 less window DMA (see the
+#: WIDE/NARROW note at the top); flipped on only after the on-chip A/B
+#: (benchmarks/trace_kernel.py --mode bf16x1nw) shows the win
+NARROW_EW_DEFAULT = False
+
 #: auto-select the hi/lo-packed im2col for the split tier -- OFF: the
 #: sweep's `splitpk` mode measured it ~9% slower device-true at th=48/80
 #: (PERF.md round-4 "Split-tier hi/lo pack"); opt in per call via
@@ -662,11 +687,12 @@ PACK_IM2COL_SPLIT_DEFAULT = False
 
 @functools.partial(jax.jit,
                    static_argnames=("th", "interpret", "precision",
-                                    "pad_mode", "full_shape", "pack_im2col"))
+                                    "pad_mode", "full_shape", "pack_im2col",
+                                    "geom"))
 def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
            interpret: bool, precision=None, pad_mode: str = "none",
            full_shape: tuple | None = None,
-           pack_im2col: bool | None = None):
+           pack_im2col: bool | None = None, geom: tuple = WIDE):
     """Run the fused kernel on one plane.
 
     ``pad_mode``:
@@ -682,7 +708,7 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
         real (h, w).
     """
     (h, w, gh, gw, hp, rb, yext, a_hi, s_hi,
-     flags) = _plane_setup(y, edge_flags, th, pad_mode, full_shape)
+     flags) = _plane_setup(y, edge_flags, th, pad_mode, full_shape, geom)
     if pack_im2col is None:
         pack_im2col = ((PACK_IM2COL_DEFAULT and precision == BF16X1)
                        or (PACK_IM2COL_SPLIT_DEFAULT
@@ -704,11 +730,11 @@ def _fused(y, w1, b1, w2, b2, w3, b3, edge_flags=None, *, th: int,
         w1 = jnp.repeat(w1.astype(jnp.bfloat16), 2, axis=0)
     body = functools.partial(_kernel, th=th, a_hi=a_hi, s_hi=s_hi,
                              gh=gh, gw=gw, precision=precision,
-                             pack=pack)
+                             pack=pack, geom=geom)
     return _launch(body, (w1, b1, w2, b2, w3, b3), yext, flags, h=h, w=w,
                    gh=gh, gw=gw, hp=hp, rb=rb, th=th,
                    scratch_dtype=jnp.int32 if pack else jnp.float32,
-                   scratch_taps=41 if pack == "pair" else 81,
+                   scratch_taps=41 if pack == "pair" else 81, geom=geom,
                    interpret=interpret)
 
 
@@ -722,11 +748,23 @@ def tile_h_for(precision) -> int:
     return BF16_TH
 
 
+def geom_for(precision, pack_im2col: bool | None = None) -> tuple:
+    """The mode's launch geometry: NARROW (256-lane windows) for the
+    packed bf16x1 tier when :data:`NARROW_EW_DEFAULT` is on, else WIDE.
+    The pipeline must use the same geometry for :func:`padded_geometry`
+    and :func:`forward_y`."""
+    pack = pack_im2col if pack_im2col is not None else PACK_IM2COL_DEFAULT
+    if NARROW_EW_DEFAULT and precision == BF16X1 and pack:
+        return NARROW
+    return WIDE
+
+
 def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
               interpret: bool | None = None,
               precision=jax.lax.Precision.HIGHEST,
               full_pad_shape: tuple | None = None,
-              pack_im2col: bool | None = None) -> jnp.ndarray:
+              pack_im2col: bool | None = None,
+              geom: tuple | None = None) -> jnp.ndarray:
     """Drop-in fused replacement for :func:`libsrcnn_tpu.models.srcnn.forward_y`
     (clamped inference path).  Accepts [H, W] or [N, H, W].
 
@@ -760,12 +798,14 @@ def forward_y(params: dict, y: jnp.ndarray, *, tile_h: int | None = None,
     b3 = params["b3"].reshape(1).astype(jnp.float32)
 
     pad_mode = "none" if full_pad_shape is None else "full"
+    if geom is None:
+        geom = geom_for(precision, pack_im2col)
     outs = []
     for k in range(y.shape[0]):
         plane = y[k].astype(jnp.float32)
         outs.append(_fused(plane, w1, b1, w2, b2, w3, b3, th=tile_h,
                            interpret=interpret, precision=precision,
                            pad_mode=pad_mode, full_shape=full_pad_shape,
-                           pack_im2col=pack_im2col))
+                           pack_im2col=pack_im2col, geom=geom))
     out = jnp.stack(outs)
     return out[0] if squeeze else out

@@ -199,7 +199,9 @@ def _single_pass(img_u8, params, *, dst_h, dst_w, filter_type, use_pallas,
         # The resize gather emits the kernel's fully padded plane (6 px
         # replicate halo + tile-alignment junk) directly, so the kernel
         # runs zero padding passes over HBM (see resize_plane_padded).
-        need_h, need_w = fused_conv.padded_geometry(dst_h, dst_w, th=th)
+        # Geometry (WIDE/NARROW window) must match forward_y's resolution.
+        need_h, need_w = fused_conv.padded_geometry(
+            dst_h, dst_w, th=th, geom=fused_conv.geom_for(prec))
         y_r = resize.resize_plane_padded(planes[0], dst_h, dst_w, y_filter,
                                          fused_conv.HALO, need_h, need_w)
         y_sr = fused_conv.forward_y(params, y_r, precision=prec,

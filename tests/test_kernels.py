@@ -172,3 +172,22 @@ def test_row_band_matches_column_tile(params):
         out = fused_conv.forward_y_band(params, jnp.asarray(y), tile_h=16,
                                         band_impl=impl)
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_narrow_geometry_bit_identical(params):
+    """The NARROW launch geometry (tw=120, 256-lane windows) partitions
+    the grid differently but computes every output column with identical
+    arithmetic -- bitwise equal to WIDE on the packed bf16x1 tier."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from libsrcnn_tpu.kernels import fused_conv
+
+    y = np.random.default_rng(5).uniform(0, 255, (90, 300)).astype(np.float32)
+    a = fused_conv.forward_y(params, jnp.asarray(y),
+                             precision=fused_conv.BF16X1, pack_im2col=True,
+                             tile_h=16, geom=fused_conv.WIDE)
+    b = fused_conv.forward_y(params, jnp.asarray(y),
+                             precision=fused_conv.BF16X1, pack_im2col=True,
+                             tile_h=16, geom=fused_conv.NARROW)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
