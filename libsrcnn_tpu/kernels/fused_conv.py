@@ -57,17 +57,20 @@ EW = 384          # window block lane width: Mosaic requires Element lane
                   # residual shift (<128); live span = shift + 140 <= 267,
                   # rounded up to a multiple of the 128-lane tile
 
-#: (tw, cw, ew) geometries.  WIDE is the original: tw=124 keeps the GEMM
-#: N dim at exactly 128 lanes but residual shifts reach 124, forcing a
-#: 384-lane window (3.1x input over-read).  NARROW trades 3% GEMM
-#: N-padding (cw=124 of 128 lanes) for shifts that are multiples of 8
-#: (124 -> 120 columns/tile), capping the live span at 120+136 = 256 --
-#: a 256-lane window, cutting the structural window over-fetch by a
-#: third (VERDICT r4 item 2; the round-5 answer to the EW=384 term).
+#: (tw, cw, ew) geometries.  WIDE is the original: tw=124 keeps the
+#: junk-column count at 4 but residual block shifts reach 124, forcing a
+#: 384-lane window (3.1x input over-read).  NARROW trades ~3% more GEMM
+#: work (8 junk columns: tw=120 of cw=128) for shifts that are multiples
+#: of 8 (<=120), capping the live span at 120+8+128 = 256 exactly -- one
+#: less 128-lane tile per window, cutting the structural window
+#: over-fetch by a third (VERDICT r4 item 2; the round-5 answer to the
+#: EW=384 term).  cw stays 128: a cw=124 variant was tried first and hit
+#: a VMEM OOM at th=128 -- unaligned lane counts make Mosaic pad AND
+#: copy every intermediate, costing more VMEM than the window saves.
 #: Per-element results are BIT-IDENTICAL across geometries (the grid
 #: partitioning changes, the per-column arithmetic does not).
 WIDE = (124, 128, 384)
-NARROW = (120, 124, 256)
+NARROW = (120, 128, 256)
 
 
 DEFAULT_TH = 40   # largest tile height fitting VMEM (f32 GEMM buffers)
