@@ -207,11 +207,23 @@ int ProcessSRCNN(const unsigned char* refbuff,
                         rc = bytes_out(cb, convbuff, convbuffsz, -12);
                         Py_DECREF(cb);
                     }
-                    if (rc != 0) {
-                        std::free(*outbuff);
-                        *outbuff = nullptr;
-                        *outbuffsz = 0;
-                    }
+                    // reference parity: on -12 the output buffer STAYS
+                    // with the caller (`libsrcnn.cpp:895-920` returns
+                    // retval=-12 with outbuff already memcpy'd); free it
+                    // with SRCNN_FreeBuffer as usual
+                }
+            }
+        } else if (rc == -12) {
+            // Python-side conv allocation failure: parity keeps the
+            // already-built output (`libsrcnn.cpp:895-912`)
+            PyObject* out = PyTuple_GetItem(res, 1);
+            if (out != Py_None) {
+                PyObject* ob = PyObject_CallMethod(out, "tobytes", nullptr);
+                if (ob != nullptr) {
+                    (void)bytes_out(ob, outbuff, outbuffsz, -11);
+                    Py_DECREF(ob);
+                } else {
+                    PyErr_Print();
                 }
             }
         }
