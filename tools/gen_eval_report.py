@@ -167,7 +167,13 @@ def main() -> int:
         "has no automated evaluation, SURVEY.md §4); this framework's",
         "answer to >×2 factors is the model zoo below. The LR families",
         "carry per-scale heads and keep their gains at higher factors on",
-        "in-domain content; butterfly ×2-×4 is the honest held-out number.",
+        "in-domain content; the four held-out images (butterfly,",
+        "grace_hopper, two reserved labmaze faces) are the honest",
+        "numbers.  One instructive held-out regression: on the very",
+        "smooth wall_purple face (interp already 33-38 dB) the learned",
+        "models can LOSE to bicubic (srcnn955 ×2 −5.7 dB) — texture",
+        "hallucination hurts near-flat content; bicubic or vdsr+ens are",
+        "the right tools there.",
         "VDSR is one scale-agnostic checkpoint (mixed ×2/×3/×4 training)",
         "refining the interpolated plane; the ×2.5 rows measure the",
         "fractional factors only the HR-domain models can serve (the",
