@@ -149,6 +149,12 @@ def main(argv=None) -> int:
                          "--corpus=base)")
     ap.add_argument("--out", default=None,
                     help="output npz (default: shipped fsrcnn_x{scale}.npz)")
+    ap.add_argument("--init-from", default=None,
+                    help="npz checkpoint to fine-tune from instead of a "
+                         "fresh init (meta_* keys ignored; the written "
+                         "meta_step is cumulative, and the starting "
+                         "checkpoint seeds the best-so-far so the output "
+                         "never regresses below it)")
     args = ap.parse_args(argv)
     if args.out is None:
         args.out = os.path.abspath(
@@ -171,7 +177,13 @@ def main(argv=None) -> int:
                                         spec.scale, args.seed, base_frac)
     print(f"pool: {args.pool} patches {args.patch}->{args.patch * spec.scale}")
 
-    params = fsrcnn.init_params(jax.random.key(args.seed), spec)
+    base_step = 0
+    if args.init_from:
+        ck = np.load(args.init_from)
+        params = {k: ck[k] for k in ck.files if not k.startswith("meta_")}
+        base_step = int(ck["meta_step"]) if "meta_step" in ck.files else 0
+    else:
+        params = fsrcnn.init_params(jax.random.key(args.seed), spec)
     # cosine decay stabilizes the deconv layer late in training
     schedule = optax.cosine_decay_schedule(args.lr, args.steps, alpha=0.02)
     t = trainer.Trainer(params=params, forward=fsrcnn.make_loss_forward(spec))
@@ -180,6 +192,11 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(args.seed + 1)
     best = (-1.0, None, -1)
+    if args.init_from:
+        p0, _ = validation_psnr(params, spec)
+        best = (p0, jax.tree.map(np.asarray, params), 0)
+        print(f"init from {args.init_from}: butterfly {p0:.2f} dB "
+              f"@ cumulative step {base_step}", flush=True)
 
     def batches():
         for _ in range(args.steps):
@@ -196,6 +213,12 @@ def main(argv=None) -> int:
             if p_sr > best[0]:
                 best = (p_sr, jax.tree.map(np.asarray, t.params), step)
                 mark = " *"
+                np.savez(args.out + ".part", **best[1],
+                         meta_scale=np.int32(spec.scale),
+                         meta_d=np.int32(spec.d), meta_s=np.int32(spec.s),
+                         meta_m=np.int32(spec.m),
+                         meta_step=np.int32(base_step + step),
+                         meta_val_psnr=np.float32(p_sr))
             print(f"step {step}: loss {np.mean(losses[-args.eval_every:]):.2f}"
                   f"  butterfly PSNR {p_sr:.2f} dB (bicubic {p_bic:.2f}){mark}",
                   flush=True)
@@ -208,7 +231,7 @@ def main(argv=None) -> int:
     np.savez(args.out, **params_np,
              meta_scale=np.int32(spec.scale), meta_d=np.int32(spec.d),
              meta_s=np.int32(spec.s), meta_m=np.int32(spec.m),
-             meta_step=np.int32(step),
+             meta_step=np.int32(base_step + step),
              meta_val_psnr=np.float32(p_sr))
     print(f"wrote {args.out}")
     return 0
